@@ -1,0 +1,442 @@
+"""BSDF families with branchless wavefront dispatch.
+
+The reference dispatches `bsdf->sample/eval/pdf` through a virtual call per
+ray (ref: include/mitsuba/render/bsdf.h:224,378-449). On TPU a wavefront
+holds rays touching different materials, so dispatch-by-branching would
+serialize; instead every family's closed-form sample/eval/pdf runs on the
+whole wavefront (cheap VPU math) and per-lane results are selected by the
+material type code — the reference's lobe-type flag system (bsdf.h:233-296)
+becomes data. Conventions match the reference exactly:
+
+  * directions are in the local shading frame, wi = toward viewer;
+  * `eval` returns f(wi, wo)·|cosθo| in the solid-angle measure — zero for
+    delta lobes (queried with EDiscrete in the reference);
+  * `sample` returns (wo, weight = f·cos/pdf, pdf, is_delta);
+  * pdfs of smooth lobes are solid-angle densities.
+
+Parameter-table layout: scene.scene.py docstring.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import microfacet as mf
+from ..core.fresnel import (fresnel_conductor_exact, fresnel_dielectric,
+                            fresnel_diffuse_reflectance)
+from ..core.math import Frame, dot, normalize, reflect, refract_local
+from ..core.warp import (INV_PI, square_to_cosine_hemisphere,
+                         square_to_cosine_hemisphere_pdf)
+from ..scene import scene as S
+
+
+class BSDFSample(NamedTuple):
+    wo: jnp.ndarray        # [N, 3] sampled direction (local frame)
+    weight: jnp.ndarray    # [N, 3] f·cos/pdf (spectral throughput weight)
+    pdf: jnp.ndarray       # [N] solid-angle pdf (delta: discrete prob)
+    is_delta: jnp.ndarray  # [N] bool — sampled a Dirac lobe
+    eta: jnp.ndarray       # [N] relative ior of the sampled event (RR weight)
+
+
+def _cos_theta(v):
+    return v[..., 2]
+
+
+# ---------------------------------------------------------------------------
+# diffuse (ref: src/bsdfs/diffuse.cpp — Appendix A.3 of SURVEY.md)
+# ---------------------------------------------------------------------------
+
+def diffuse_eval(p, wi, wo):
+    albedo = p[..., 0:3]
+    f = albedo * INV_PI * jnp.maximum(_cos_theta(wo), 0.0)[..., None]
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def diffuse_pdf(p, wi, wo):
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0)
+    return jnp.where(valid, square_to_cosine_hemisphere_pdf(wo), 0.0)
+
+
+def diffuse_sample(p, wi, u2, u1):
+    wo = square_to_cosine_hemisphere(u2)
+    pdf = square_to_cosine_hemisphere_pdf(wo)
+    albedo = p[..., 0:3]
+    valid = _cos_theta(wi) > 0
+    weight = jnp.where(valid[..., None], albedo, 0.0)
+    return wo, weight, jnp.where(valid, pdf, 0.0), jnp.zeros(
+        wi.shape[:-1], bool), jnp.ones(wi.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# rough diffuse / Oren-Nayar (ref: src/bsdfs/roughdiffuse.cpp, fast approx)
+# ---------------------------------------------------------------------------
+
+def roughdiffuse_eval(p, wi, wo):
+    albedo = p[..., 0:3]
+    # conversion: sigma = alpha/sqrt(2) (roughdiffuse.cpp:129)
+    sigma = p[..., 9] * 0.70711
+    sigma2 = sigma * sigma
+    a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
+    b = 0.45 * sigma2 / (sigma2 + 0.09)
+    ct_i, ct_o = _cos_theta(wi), _cos_theta(wo)
+    st_i = jnp.sqrt(jnp.maximum(1 - ct_i * ct_i, 0.0))
+    st_o = jnp.sqrt(jnp.maximum(1 - ct_o * ct_o, 0.0))
+    # cos(phi_i - phi_o)
+    denom = jnp.maximum(st_i * st_o, 1e-7)
+    cos_dphi = jnp.clip(
+        (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / denom, -1.0, 1.0)
+    sin_alpha = jnp.maximum(st_i, st_o)
+    tan_beta = jnp.minimum(st_i / jnp.maximum(ct_i, 1e-7),
+                           st_o / jnp.maximum(ct_o, 1e-7))
+    f = (albedo * INV_PI
+         * (a + b * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta
+            )[..., None] * jnp.maximum(ct_o, 0.0)[..., None])
+    valid = (ct_i > 0) & (ct_o > 0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def roughdiffuse_pdf(p, wi, wo):
+    return diffuse_pdf(p, wi, wo)
+
+
+def roughdiffuse_sample(p, wi, u2, u1):
+    wo = square_to_cosine_hemisphere(u2)
+    pdf = diffuse_pdf(p, wi, wo)
+    f = roughdiffuse_eval(p, wi, wo)
+    w = jnp.where(pdf[..., None] > 0, f / jnp.maximum(pdf, 1e-20)[..., None],
+                  0.0)
+    return wo, w, pdf, jnp.zeros(wi.shape[:-1], bool), jnp.ones(wi.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# conductor — delta mirror (ref: src/bsdfs/conductor.cpp:254-268)
+# ---------------------------------------------------------------------------
+
+def conductor_sample(p, wi, u2, u1):
+    eta, k, spec = p[..., 0:3], p[..., 3:6], p[..., 6:9]
+    wo = reflect(wi)
+    valid = _cos_theta(wi) > 0
+    f = fresnel_conductor_exact(_cos_theta(wi), eta, k) * spec
+    weight = jnp.where(valid[..., None], f, 0.0)
+    pdf = jnp.where(valid, 1.0, 0.0)
+    return wo, weight, pdf, jnp.ones(wi.shape[:-1], bool), jnp.ones(
+        wi.shape[:-1])
+
+
+def conductor_eval(p, wi, wo):
+    return jnp.zeros(wi.shape[:-1] + (3,))
+
+
+def conductor_pdf(p, wi, wo):
+    return jnp.zeros(wi.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# rough conductor — GGX/Beckmann microfacet reflection
+# (ref: src/bsdfs/roughconductor.cpp:298-418, SURVEY Appendix A.3)
+# ---------------------------------------------------------------------------
+
+def _rc_params(p):
+    return (p[..., 0:3], p[..., 3:6], p[..., 6:9], p[..., 9], p[..., 10],
+            p[..., 11].astype(jnp.int32))
+
+
+def roughconductor_eval(p, wi, wo):
+    eta, k, spec, au, av, dist = _rc_params(p)
+    ct_i, ct_o = _cos_theta(wi), _cos_theta(wo)
+    h = normalize(wi + wo)
+    d = mf.eval_d(h, au, av, dist)
+    g = mf.smith_g(wi, wo, h, au, av, dist)
+    fr = fresnel_conductor_exact(dot(wi, h), eta, k)
+    # f·cosθo = F D G / (4 cosθi)
+    val = fr * spec * (d * g / jnp.maximum(4.0 * ct_i, 1e-7))[..., None]
+    valid = (ct_i > 1e-7) & (ct_o > 1e-7)
+    return jnp.where(valid[..., None], val, 0.0)
+
+
+def roughconductor_pdf(p, wi, wo):
+    _, _, _, au, av, dist = _rc_params(p)
+    h = normalize(wi + wo)
+    # visible-normal pdf with half-vector Jacobian 1/(4 wo·h)
+    # (roughconductor.cpp:298-323)
+    pdf_h = mf.pdf_visible(wi, h, au, av, dist)
+    pdf = pdf_h / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-7)
+    valid = (_cos_theta(wi) > 1e-7) & (_cos_theta(wo) > 1e-7)
+    return jnp.where(valid, pdf, 0.0)
+
+
+def roughconductor_sample(p, wi, u2, u1):
+    eta, k, spec, au, av, dist = _rc_params(p)
+    m = mf.sample_visible(wi, u2, au, av, dist)
+    wo = 2.0 * dot(wi, m)[..., None] * m - wi
+    ct_o = _cos_theta(wo)
+    pdf = roughconductor_pdf(p, wi, wo)
+    # sampleVisible weight: F·spec·G1(wo) (roughconductor.cpp:405-408)
+    fr = fresnel_conductor_exact(dot(wi, m), eta, k)
+    g1o = mf.smith_g1(wo, m, au, av, dist)
+    weight = fr * spec * g1o[..., None]
+    valid = (_cos_theta(wi) > 1e-7) & (ct_o > 1e-7) & (pdf > 0)
+    return (wo, jnp.where(valid[..., None], weight, 0.0),
+            jnp.where(valid, pdf, 0.0), jnp.zeros(wi.shape[:-1], bool),
+            jnp.ones(wi.shape[:-1]))
+
+
+# ---------------------------------------------------------------------------
+# smooth dielectric — delta reflect/refract (ref: src/bsdfs/dielectric.cpp)
+# ---------------------------------------------------------------------------
+
+def dielectric_sample(p, wi, u2, u1):
+    eta_ratio = p[..., 0]
+    spec_r, spec_t = p[..., 1:4], p[..., 4:7]
+    ct_i = _cos_theta(wi)
+    f, cos_t, eta_it, eta_ti = fresnel_dielectric(ct_i, eta_ratio)
+    pick_reflect = u1 < f
+    wo_r = reflect(wi)
+    wo_t = refract_local(wi, eta_ratio, cos_t)
+    wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+    # radiance transport: factor eta_ti² on refraction (dielectric.cpp:232)
+    w_r = spec_r
+    w_t = spec_t * (eta_ti * eta_ti)[..., None]
+    weight = jnp.where(pick_reflect[..., None], w_r, w_t)
+    pdf = jnp.where(pick_reflect, f, 1.0 - f)
+    eta_event = jnp.where(pick_reflect, 1.0, eta_it)
+    return (wo, weight, pdf, jnp.ones(wi.shape[:-1], bool), eta_event)
+
+
+def dielectric_eval(p, wi, wo):
+    return jnp.zeros(wi.shape[:-1] + (3,))
+
+
+def dielectric_pdf(p, wi, wo):
+    return jnp.zeros(wi.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# thin dielectric (ref: src/bsdfs/thindielectric.cpp)
+# ---------------------------------------------------------------------------
+
+def thindielectric_sample(p, wi, u2, u1):
+    eta_ratio = p[..., 0]
+    spec_r, spec_t = p[..., 1:4], p[..., 4:7]
+    ct_i = _cos_theta(wi)
+    f, _, _, _ = fresnel_dielectric(jnp.abs(ct_i), eta_ratio)
+    # account for internal bounces: R' = R + TRT + ... = R(1 + T²/(1-R²)-ish)
+    f = jnp.where(f < 1.0, f + (1.0 - f) * (1.0 - f) * f
+                  / jnp.maximum(1.0 - f * f, 1e-7), f)
+    pick_reflect = u1 < f
+    wo = jnp.where(pick_reflect[..., None], reflect(wi), -wi)
+    weight = jnp.where(pick_reflect[..., None], spec_r, spec_t)
+    pdf = jnp.where(pick_reflect, f, 1.0 - f)
+    return (wo, weight, pdf, jnp.ones(wi.shape[:-1], bool),
+            jnp.ones(wi.shape[:-1]))
+
+
+# ---------------------------------------------------------------------------
+# plastic — delta coat over diffuse (ref: src/bsdfs/plastic.cpp)
+# ---------------------------------------------------------------------------
+
+def _plastic_parts(p):
+    eta = p[..., 0]
+    kd = p[..., 1:4]
+    ks = p[..., 4:7]
+    nonlinear = p[..., 7]
+    return eta, kd, ks, nonlinear
+
+
+def _plastic_diffuse_weight(eta, kd, nonlinear):
+    """Internal-scattering-compensated diffuse term (plastic.cpp:~300)."""
+    fdr_int = fresnel_diffuse_reflectance(1.0 / eta)
+    inv_eta2 = 1.0 / (eta * eta)
+    denom = jnp.where(nonlinear[..., None] > 0.5,
+                      1.0 - kd * fdr_int[..., None],
+                      (1.0 - fdr_int)[..., None])
+    return kd * inv_eta2[..., None] / jnp.maximum(denom, 1e-4)
+
+
+def plastic_eval(p, wi, wo):
+    eta, kd, ks, nonlinear = _plastic_parts(p)
+    ct_i, ct_o = _cos_theta(wi), _cos_theta(wo)
+    fi, _, _, _ = fresnel_dielectric(ct_i, eta)
+    fo, _, _, _ = fresnel_dielectric(ct_o, eta)
+    diff = _plastic_diffuse_weight(eta, kd, nonlinear)
+    f = diff * (INV_PI * (1.0 - fi) * (1.0 - fo)
+                * jnp.maximum(ct_o, 0.0))[..., None]
+    valid = (ct_i > 0) & (ct_o > 0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def plastic_pdf(p, wi, wo):
+    eta, kd, ks, _ = _plastic_parts(p)
+    ct_i = _cos_theta(wi)
+    fi, _, _, _ = fresnel_dielectric(ct_i, eta)
+    prob_spec = fi  # specular sampling weight (plastic.cpp importance split)
+    pdf_d = square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec)
+    valid = (ct_i > 0) & (_cos_theta(wo) > 0)
+    return jnp.where(valid, pdf_d, 0.0)
+
+
+def plastic_sample(p, wi, u2, u1):
+    eta, kd, ks, nonlinear = _plastic_parts(p)
+    ct_i = _cos_theta(wi)
+    fi, _, _, _ = fresnel_dielectric(ct_i, eta)
+    pick_spec = u1 < fi
+    wo_s = reflect(wi)
+    wo_d = square_to_cosine_hemisphere(u2)
+    wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+    # specular event: weight = ks (prob = F cancels Fresnel)
+    w_spec = ks
+    fo, _, _, _ = fresnel_dielectric(_cos_theta(wo), eta)
+    diff = _plastic_diffuse_weight(eta, kd, nonlinear)
+    w_diff = diff * ((1.0 - fi) * (1.0 - fo)
+                     / jnp.maximum(1.0 - fi, 1e-7))[..., None]
+    weight = jnp.where(pick_spec[..., None], w_spec, w_diff)
+    pdf = jnp.where(pick_spec, fi,
+                    (1.0 - fi) * square_to_cosine_hemisphere_pdf(wo))
+    valid = ct_i > 0
+    return (wo, jnp.where(valid[..., None], weight, 0.0),
+            jnp.where(valid, pdf, 0.0), pick_spec,
+            jnp.ones(wi.shape[:-1]))
+
+
+# ---------------------------------------------------------------------------
+# phong (ref: src/bsdfs/phong.cpp) — modified Phong, diffuse+glossy mix
+# ---------------------------------------------------------------------------
+
+def phong_eval(p, wi, wo):
+    kd, ks, n = p[..., 0:3], p[..., 3:6], p[..., 6]
+    ct_o = jnp.maximum(_cos_theta(wo), 0.0)
+    r = reflect(wi)
+    alpha = jnp.maximum(dot(r, wo), 0.0)
+    glossy = ks * ((n + 2.0) * (0.5 * INV_PI)
+                   * jnp.power(alpha, n) * ct_o)[..., None]
+    diff = kd * (INV_PI * ct_o)[..., None]
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0)
+    return jnp.where(valid[..., None], glossy + diff, 0.0)
+
+
+def _phong_spec_prob(p):
+    kd, ks = p[..., 0:3], p[..., 3:6]
+    sd = jnp.max(kd, axis=-1)
+    ss = jnp.max(ks, axis=-1)
+    return ss / jnp.maximum(sd + ss, 1e-7)
+
+
+def phong_pdf(p, wi, wo):
+    n = p[..., 6]
+    prob_s = _phong_spec_prob(p)
+    r = reflect(wi)
+    alpha = jnp.maximum(dot(r, wo), 0.0)
+    pdf_s = (n + 1.0) * (0.5 * INV_PI) * jnp.power(alpha, n)
+    pdf_d = square_to_cosine_hemisphere_pdf(wo)
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0)
+    return jnp.where(valid, prob_s * pdf_s + (1 - prob_s) * pdf_d, 0.0)
+
+
+def phong_sample(p, wi, u2, u1):
+    n = p[..., 6]
+    prob_s = _phong_spec_prob(p)
+    pick_s = u1 < prob_s
+    # glossy: sample lobe around mirror direction
+    cos_a = jnp.power(jnp.maximum(u2[..., 0], 1e-7), 1.0 / (n + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(1 - cos_a * cos_a, 0.0))
+    phi = 2 * jnp.pi * u2[..., 1]
+    local = jnp.stack(
+        [sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], axis=-1)
+    r = reflect(wi)
+    frame = Frame.from_normal(r)
+    wo_s = Frame.to_world(frame, local)
+    wo_d = square_to_cosine_hemisphere(u2)
+    wo = jnp.where(pick_s[..., None], wo_s, wo_d)
+    pdf = phong_pdf(p, wi, wo)
+    f = phong_eval(p, wi, wo)
+    w = jnp.where(pdf[..., None] > 1e-12,
+                  f / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
+    return wo, w, pdf, jnp.zeros(wi.shape[:-1], bool), jnp.ones(
+        wi.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Dispatch tables
+# ---------------------------------------------------------------------------
+
+_SMOOTH_EVAL = {
+    S.MAT_DIFFUSE: diffuse_eval,
+    S.MAT_ROUGH_DIFFUSE: roughdiffuse_eval,
+    S.MAT_ROUGH_CONDUCTOR: roughconductor_eval,
+    S.MAT_PLASTIC: plastic_eval,
+    S.MAT_PHONG: phong_eval,
+}
+_SMOOTH_PDF = {
+    S.MAT_DIFFUSE: diffuse_pdf,
+    S.MAT_ROUGH_DIFFUSE: roughdiffuse_pdf,
+    S.MAT_ROUGH_CONDUCTOR: roughconductor_pdf,
+    S.MAT_PLASTIC: plastic_pdf,
+    S.MAT_PHONG: phong_pdf,
+}
+_SAMPLERS = {
+    S.MAT_DIFFUSE: diffuse_sample,
+    S.MAT_ROUGH_DIFFUSE: roughdiffuse_sample,
+    S.MAT_CONDUCTOR: conductor_sample,
+    S.MAT_ROUGH_CONDUCTOR: roughconductor_sample,
+    S.MAT_DIELECTRIC: dielectric_sample,
+    S.MAT_THIN_DIELECTRIC: thindielectric_sample,
+    S.MAT_PLASTIC: plastic_sample,
+    S.MAT_PHONG: phong_sample,
+}
+
+
+def resolve_params(scene: S.SceneData, mat_id, uv=None):
+    """Gather material rows; texture-driven parameters are resolved here
+    (bitmap textures override albedo/roughness — texture/texture.py)."""
+    mid = jnp.maximum(mat_id, 0)
+    mtype = scene.mat_type[mid]
+    params = scene.mat_params[mid]
+    tex_slots = scene.mat_tex[mid]
+    if uv is not None and scene.tex_meta.shape[0] > 1:
+        from ..texture.texture import eval_texture
+        alb_tex = tex_slots[..., 0]
+        has_tex = alb_tex >= 0
+        tex_val = eval_texture(scene, jnp.maximum(alb_tex, 0), uv)
+        albedo = jnp.where(has_tex[..., None], tex_val, params[..., 0:3])
+        params = params.at[..., 0:3].set(albedo)
+        rough_tex = tex_slots[..., 1]
+        has_r = rough_tex >= 0
+        rough = eval_texture(scene, jnp.maximum(rough_tex, 0), uv)[..., 0]
+        params = params.at[..., 9].set(
+            jnp.where(has_r, rough, params[..., 9]))
+    return mtype, params
+
+
+def eval_bsdf(mtype, params, wi, wo):
+    """f(wi,wo)·cosθo for the smooth component (zero for delta lobes)."""
+    out = jnp.zeros(wi.shape[:-1] + (3,))
+    for code, fn in _SMOOTH_EVAL.items():
+        out = jnp.where((mtype == code)[..., None], fn(params, wi, wo), out)
+    return out
+
+
+def pdf_bsdf(mtype, params, wi, wo):
+    out = jnp.zeros(wi.shape[:-1])
+    for code, fn in _SMOOTH_PDF.items():
+        out = jnp.where(mtype == code, fn(params, wi, wo), out)
+    return out
+
+
+def sample_bsdf(mtype, params, wi, u2, u1) -> BSDFSample:
+    n = wi.shape[:-1]
+    wo = jnp.zeros(wi.shape)
+    weight = jnp.zeros(wi.shape[:-1] + (3,))
+    pdf = jnp.zeros(n)
+    is_delta = jnp.zeros(n, bool)
+    eta = jnp.ones(n)
+    for code, fn in _SAMPLERS.items():
+        w_, wt_, p_, d_, e_ = fn(params, wi, u2, u1)
+        sel = mtype == code
+        wo = jnp.where(sel[..., None], w_, wo)
+        weight = jnp.where(sel[..., None], wt_, weight)
+        pdf = jnp.where(sel, p_, pdf)
+        is_delta = jnp.where(sel, d_, is_delta)
+        eta = jnp.where(sel, e_, eta)
+    return BSDFSample(wo, weight, pdf, is_delta, eta)

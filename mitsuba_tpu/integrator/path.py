@@ -1,0 +1,156 @@
+"""Unidirectional path tracer with NEE + MIS + Russian roulette.
+
+TPU-native re-design of the reference MIPathTracer (ref: src/integrators/
+path/path.cpp:120-295; exact semantics in SURVEY Appendix A.2): the per-ray
+`while` loop becomes a `lax.scan` over bounce index carrying masked wavefront
+state — position, direction, throughput, accumulated radiance, the previous
+BSDF pdf for MIS, and the RR eta scale. No recursion, no divergence: dead
+lanes ride along masked (compaction variants live in the Pallas backend).
+
+Defaults match the reference: rr_depth=5, RR continue prob
+q = min(max(throughput)·η², 0.95) (path.cpp:278-289); MIS = power heuristic;
+depth counts path vertices (camera vertex = 1), loop breaks when
+depth ≥ max_depth (path.cpp:157-166).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.dense import ray_intersect, ray_test
+from ..bsdf.bsdf import eval_bsdf, pdf_bsdf, resolve_params, sample_bsdf
+from ..core import rng
+from ..core.math import SHADOW_EPSILON, Frame, dot
+from ..emitter.emitter import (eval_area, eval_env, pdf_direct_area,
+                               pdf_direct_env, sample_direct)
+from ..scene.scene import SceneData
+from .common import (DIM_BSDF_U1, DIM_BSDF_U2, DIM_NEE_POS, DIM_NEE_SEL,
+                     DIM_RR, bounce_dim, mis_power, offset_ray_origin,
+                     ray_mint)
+
+
+@dataclass(frozen=True)
+class PathTracer:
+    """Config mirroring MonteCarloIntegrator (ref: integrator.h:448-474)."""
+    max_depth: int = 8          # vertices incl. camera; -1 (∞) not supported
+    rr_depth: int = 5
+    hide_emitters: bool = False
+    cluster_size: int = 512
+
+    def li(self, scene: SceneData, o, d, seed, path_id):
+        """Radiance along primary rays (o, d) [N, 3].
+
+        seed: uint32 scalar; path_id: [N] uint32 global sample indices —
+        together they key every random draw (replayable for path-replay AD).
+        """
+        n = o.shape[0]
+        zero3 = jnp.zeros((n, 3))
+
+        def bounce_body(carry, bounce):
+            (o, d, throughput, L, active, eta_scale, prev_pdf,
+             prev_delta) = carry
+
+            its = ray_intersect(scene, o, d, mint=ray_mint(o),
+                                cluster_size=self.cluster_size)
+
+            # ---- escaped rays: environment emitter ---------------------
+            escaped = active & ~its.valid
+            env_rad = eval_env(scene, d)
+            env_pdf = pdf_direct_env(scene, d)
+            w_env = jnp.where(prev_delta, 1.0, mis_power(prev_pdf, env_pdf))
+            first = bounce == 0
+            w_env = jnp.where(first & self.hide_emitters, 0.0, w_env)
+            L = L + jnp.where(escaped[..., None],
+                              throughput * env_rad * w_env[..., None], 0.0)
+
+            # ---- emitter hit on a surface ------------------------------
+            hit = active & its.valid
+            cos_surf = -dot(d, its.ng)          # >0 ⇒ hit the front side
+            le = eval_area(scene, its.em_id, cos_surf)
+            nee_pdf_hit = pdf_direct_area(scene, its.em_id, d, its.t,
+                                          cos_surf)
+            w_hit = jnp.where(prev_delta, 1.0,
+                              mis_power(prev_pdf, nee_pdf_hit))
+            w_hit = jnp.where(first & self.hide_emitters, 0.0, w_hit)
+            L = L + jnp.where(hit[..., None],
+                              throughput * le * w_hit[..., None], 0.0)
+
+            # current path depth (vertices): camera=1, this hit adds one
+            depth = bounce + 2
+
+            # ---- set up shading frame ----------------------------------
+            frame = Frame.from_normal(its.ns)
+            wi_local = Frame.to_local(frame, -d)
+            mtype, params = resolve_params(scene, its.mat_id, its.uv)
+
+            # ---- next-event estimation ---------------------------------
+            # skip when the *next* vertex would exceed max_depth
+            nee_allowed = hit & (depth + 1 <= self.max_depth + 1) \
+                if self.max_depth > 0 else hit
+            u_sel = rng.sample_1d(seed, path_id,
+                                  bounce_dim(bounce, DIM_NEE_SEL))
+            u_pos = rng.sample_2d(seed, path_id,
+                                  bounce_dim(bounce, DIM_NEE_POS))
+            ds = sample_direct(scene, its.p, u_sel, u_pos)
+            wo_nee = Frame.to_local(frame, ds.d)
+            f_nee = eval_bsdf(mtype, params, wi_local, wo_nee)
+            contributes = nee_allowed & (ds.pdf > 0) & (
+                jnp.any(f_nee > 0, axis=-1))
+            # shadow ray: [ε, dist·(1-ShadowEpsilon)] (scene.cpp:846)
+            so = offset_ray_origin(its.p, its.ng, ds.d)
+            smax = jnp.where(jnp.isinf(ds.dist), 1e30,
+                             ds.dist * (1.0 - SHADOW_EPSILON))
+            occluded = ray_test(scene, so, ds.d, ray_mint(so), smax,
+                                cluster_size=self.cluster_size)
+            contributes = contributes & ~occluded
+            bsdf_pdf_nee = pdf_bsdf(mtype, params, wi_local, wo_nee)
+            w_nee = jnp.where(ds.is_delta, 1.0,
+                              mis_power(ds.pdf, bsdf_pdf_nee))
+            L = L + jnp.where(contributes[..., None],
+                              throughput * ds.value * f_nee
+                              * w_nee[..., None], 0.0)
+
+            # ---- BSDF sampling → next ray ------------------------------
+            u2 = rng.sample_2d(seed, path_id,
+                               bounce_dim(bounce, DIM_BSDF_U2))
+            u1 = rng.sample_1d(seed, path_id,
+                               bounce_dim(bounce, DIM_BSDF_U1))
+            bs = sample_bsdf(mtype, params, wi_local, u2, u1)
+            d_next = Frame.to_world(frame, bs.wo)
+            o_next = offset_ray_origin(its.p, its.ng, d_next)
+            bsdf_ok = bs.pdf > 0
+            throughput_next = throughput * bs.weight
+            alive = hit & bsdf_ok & jnp.any(throughput_next > 0, axis=-1)
+
+            # depth cutoff: stop when depth ≥ max_depth (path.cpp:157-166)
+            if self.max_depth > 0:
+                alive = alive & (depth <= self.max_depth)
+
+            # ---- Russian roulette (path.cpp:278-289) -------------------
+            eta_scale_next = eta_scale * bs.eta
+            q = jnp.minimum(
+                jnp.max(throughput_next, axis=-1) * eta_scale_next ** 2,
+                0.95)
+            u_rr = rng.sample_1d(seed, path_id, bounce_dim(bounce, DIM_RR))
+            do_rr = depth >= self.rr_depth
+            rr_continue = ~do_rr | (u_rr < q)
+            throughput_next = jnp.where(
+                (do_rr & rr_continue)[..., None],
+                throughput_next / jnp.maximum(q, 1e-6)[..., None],
+                throughput_next)
+            alive = alive & rr_continue
+
+            return ((o_next, jnp.where(alive[..., None], d_next, d),
+                     jnp.where(alive[..., None], throughput_next, 0.0),
+                     L, alive, eta_scale_next,
+                     jnp.where(bs.is_delta, 1.0, bs.pdf),
+                     bs.is_delta), None)
+
+        n_bounces = self.max_depth if self.max_depth > 0 else 32
+        init = (o, d, jnp.ones((n, 3)), zero3, jnp.ones((n,), bool),
+                jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,), bool))
+        (o_, d_, tp, L, *_), _ = jax.lax.scan(
+            bounce_body, init, jnp.arange(n_bounces))
+        return L

@@ -1,0 +1,169 @@
+"""Image I/O: EXR (native minimal writer/reader), PFM, NPY, PNG/JPG via PIL.
+
+Counterpart of the reference's Bitmap I/O layer (ref: include/mitsuba/core/
+bitmap.h:182-261, src/libcore/bitmap.cpp) minus the exotic formats. The EXR
+codec is a self-contained implementation of the uncompressed FLOAT scanline
+subset — enough for HDR output and round-tripping our own files without an
+OpenEXR dependency.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_EXR_MAGIC = 20000630
+
+
+def write_exr(path: str, img: np.ndarray):
+    """Write [H, W, 3] float32 RGB as uncompressed scanline EXR."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    names = ["Y"] if c == 1 else ["R", "G", "B", "A"][:c]
+    # channels stored alphabetically in EXR
+    order = sorted(range(c), key=lambda i: names[i])
+
+    def attr(name, typ, data):
+        return (name.encode() + b"\x00" + typ.encode() + b"\x00"
+                + struct.pack("<i", len(data)) + data)
+
+    chlist = b""
+    for i in order:
+        # name, pixel type (2=float), pLinear+reserved, xSampling, ySampling
+        chlist += (names[i].encode() + b"\x00"
+                   + struct.pack("<iBBBBii", 2, 0, 0, 0, 0, 1, 1))
+    chlist += b"\x00"
+
+    header = b""
+    header += attr("channels", "chlist", chlist)
+    header += attr("compression", "compression", b"\x00")  # none
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header += attr("dataWindow", "box2i", box)
+    header += attr("displayWindow", "box2i", box)
+    header += attr("lineOrder", "lineOrder", b"\x00")
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", _EXR_MAGIC, 2))
+        f.write(header)
+        # scanline offset table
+        table_pos = f.tell()
+        data_start = table_pos + 8 * h
+        line_bytes = 8 + 4 * w * c
+        offsets = [data_start + y * line_bytes for y in range(h)]
+        f.write(struct.pack(f"<{h}Q", *offsets))
+        for y in range(h):
+            f.write(struct.pack("<ii", y, 4 * w * c))
+            for i in order:
+                f.write(img[y, :, i].tobytes())
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Read an uncompressed scanline FLOAT EXR written by write_exr."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, _version = struct.unpack_from("<ii", data, 0)
+    assert magic == _EXR_MAGIC, "not an EXR file"
+    pos = 8
+    channels = []
+    dw = None
+    compression = 0
+    while data[pos] != 0:
+        e = data.index(b"\x00", pos)
+        name = data[pos:e].decode(); pos = e + 1
+        e = data.index(b"\x00", pos)
+        typ = data[pos:e].decode(); pos = e + 1
+        (size,) = struct.unpack_from("<i", data, pos); pos += 4
+        payload = data[pos:pos + size]; pos += size
+        if name == "channels":
+            p = 0
+            while payload[p] != 0:
+                ne = payload.index(b"\x00", p)
+                cname = payload[p:ne].decode()
+                (ptype,) = struct.unpack_from("<i", payload, ne + 1)
+                assert ptype == 2, "only FLOAT channels supported"
+                channels.append(cname)
+                p = ne + 1 + 16
+        elif name == "dataWindow":
+            dw = struct.unpack("<iiii", payload)
+        elif name == "compression":
+            compression = payload[0]
+    assert compression == 0, "only uncompressed EXR supported"
+    pos += 1
+    w = dw[2] - dw[0] + 1
+    h = dw[3] - dw[1] + 1
+    c = len(channels)
+    pos += 8 * h  # skip offset table
+    img = np.zeros((h, w, c), np.float32)
+    for y in range(h):
+        _, nb = struct.unpack_from("<ii", data, pos)
+        pos += 8
+        for i in range(c):
+            img[y, :, i] = np.frombuffer(data, np.float32, w, pos)
+            pos += 4 * w
+    # reorder alphabetical → RGB(A)
+    want = ["R", "G", "B", "A"][:c] if c > 1 else ["Y"]
+    if set(want) == set(channels):
+        img = img[:, :, [channels.index(n) for n in want]]
+    return img
+
+
+def write_pfm(path: str, img: np.ndarray):
+    """Portable FloatMap (ref: bitmap.cpp writePFM)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    color = img.ndim == 3 and img.shape[2] == 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")  # little endian
+        f.write(np.flipud(img).tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        kind = f.readline().strip()
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        c = 3 if kind == b"PF" else 1
+        dt = "<f4" if scale < 0 else ">f4"
+        img = np.frombuffer(f.read(), dt).reshape(h, w, c)
+    return np.flipud(img).copy()
+
+
+def write_png(path: str, img: np.ndarray, gamma: bool = True):
+    """Tonemapped 8-bit PNG via PIL (ref: ldrfilm.cpp)."""
+    from PIL import Image
+
+    from ..core.spectrum import to_srgb
+    x = np.asarray(img, np.float32)
+    if gamma:
+        x = np.asarray(to_srgb(np.clip(x, 0.0, 1.0)))
+    x = (np.clip(x, 0, 1) * 255 + 0.5).astype(np.uint8)
+    Image.fromarray(x).save(path)
+
+
+def write_npy(path: str, img: np.ndarray):
+    """NumPy output (ref: mfilm.cpp .npy via vendored cnpy)."""
+    np.save(path, np.asarray(img, np.float32))
+
+
+def write_image(path: str, img) -> None:
+    img = np.asarray(img)
+    low = path.lower()
+    if low.endswith(".exr"):
+        write_exr(path, img)
+    elif low.endswith(".pfm"):
+        write_pfm(path, img)
+    elif low.endswith(".npy"):
+        write_npy(path, img)
+    elif low.endswith((".png", ".jpg", ".jpeg")):
+        write_png(path, img)
+    else:
+        raise ValueError(f"unsupported image format: {path}")

@@ -1,0 +1,339 @@
+"""Scene builder: declarative Python scene description → compiled SceneData.
+
+This is the analog of the reference's XML→Properties→PluginManager pipeline
+(ref: src/librender/scenehandler.cpp:712-770 + Scene::initialize): users
+describe shapes/materials/emitters with small dataclasses, and `compile_scene`
+bakes everything into the flat arrays of SceneData — world-space triangle
+soup, Woop transforms, material/emitter tables, CDFs. All transform work is
+host-side float64; device arrays are float32.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.dense import build_woop
+from ..core import transform as tf
+from ..core.distribution import Discrete1D
+from . import scene as S
+from .shapes import Mesh
+
+# ---------------------------------------------------------------------------
+# Declarative description (the "Properties" layer, ref: properties.h:46)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Material:
+    """BSDF description. `kind` selects the lobe family (ref plugin names,
+    src/bsdfs/); parameters mirror each plugin's Properties defaults."""
+    kind: str = "diffuse"
+    albedo: Sequence[float] = (0.5, 0.5, 0.5)       # diffuse/roughdiffuse
+    eta: Sequence[float] | float = (0.2004, 0.9240, 1.1022)  # conductor (Cu) / ior
+    k: Sequence[float] = (3.9129, 2.4528, 2.1421)
+    specular_reflectance: Sequence[float] = (1.0, 1.0, 1.0)
+    specular_transmittance: Sequence[float] = (1.0, 1.0, 1.0)
+    diffuse_reflectance: Sequence[float] = (0.5, 0.5, 0.5)
+    alpha: float = 0.1
+    alpha_v: Optional[float] = None
+    distribution: str = "ggx"                         # "beckmann"|"ggx"
+    int_ior: float = 1.5046                           # dielectric (BK7)
+    ext_ior: float = 1.000277                         # air
+    exponent: float = 30.0                            # phong
+    nonlinear: bool = False                           # plastic
+    albedo_texture: int = -1                          # texture slot id
+    roughness_texture: int = -1
+
+    _KINDS = {
+        "diffuse": S.MAT_DIFFUSE, "conductor": S.MAT_CONDUCTOR,
+        "roughconductor": S.MAT_ROUGH_CONDUCTOR,
+        "dielectric": S.MAT_DIELECTRIC, "plastic": S.MAT_PLASTIC,
+        "roughdielectric": S.MAT_ROUGH_DIELECTRIC,
+        "roughplastic": S.MAT_ROUGH_PLASTIC, "phong": S.MAT_PHONG,
+        "ward": S.MAT_WARD, "roughdiffuse": S.MAT_ROUGH_DIFFUSE,
+        "null": S.MAT_NULL, "thindielectric": S.MAT_THIN_DIELECTRIC,
+    }
+
+    def compile(self):
+        code = self._KINDS[self.kind]
+        p = np.zeros(S.N_MAT_PARAMS, np.float32)
+        dist = 1.0 if self.distribution == "ggx" else 0.0
+        av = self.alpha if self.alpha_v is None else self.alpha_v
+        if code in (S.MAT_DIFFUSE, S.MAT_ROUGH_DIFFUSE):
+            p[0:3] = self.albedo
+            p[9] = self.alpha
+        elif code in (S.MAT_CONDUCTOR, S.MAT_ROUGH_CONDUCTOR):
+            eta = self.eta if not np.isscalar(self.eta) else [self.eta] * 3
+            p[0:3] = eta
+            p[3:6] = self.k
+            p[6:9] = self.specular_reflectance
+            p[9], p[10], p[11] = self.alpha, av, dist
+        elif code in (S.MAT_DIELECTRIC, S.MAT_ROUGH_DIELECTRIC,
+                      S.MAT_THIN_DIELECTRIC):
+            p[0] = self.int_ior / self.ext_ior
+            p[1:4] = self.specular_reflectance
+            p[4:7] = self.specular_transmittance
+            p[9], p[10], p[11] = self.alpha, av, dist
+        elif code in (S.MAT_PLASTIC, S.MAT_ROUGH_PLASTIC):
+            p[0] = self.int_ior / self.ext_ior
+            p[1:4] = self.diffuse_reflectance
+            p[4:7] = self.specular_reflectance
+            p[7] = float(self.nonlinear)
+            p[9], p[10], p[11] = self.alpha, av, dist
+        elif code == S.MAT_PHONG:
+            p[0:3] = self.diffuse_reflectance
+            p[3:6] = self.specular_reflectance
+            p[6] = self.exponent
+        elif code == S.MAT_WARD:
+            p[0:3] = self.diffuse_reflectance
+            p[3:6] = self.specular_reflectance
+            p[9], p[10] = self.alpha, av
+        tex = np.array([self.albedo_texture, self.roughness_texture],
+                       np.int32)
+        return code, p, tex
+
+
+@dataclass
+class ShapeInstance:
+    """A mesh placed in the world with a material and optional emission —
+    subsumes the reference's shape + (bsdf, area-emitter) children."""
+    mesh: Mesh
+    to_world: np.ndarray = field(default_factory=tf.identity)
+    material: int = 0                      # index into scene materials list
+    radiance: Optional[Sequence[float]] = None  # area emitter if set
+    sampling_weight: float = 1.0
+    flip_normals: bool = False
+
+
+@dataclass
+class PointLight:
+    position: Sequence[float]
+    intensity: Sequence[float]
+    sampling_weight: float = 1.0
+
+
+@dataclass
+class ConstantLight:
+    """Constant environment emitter (ref: src/emitters/constant.cpp)."""
+    radiance: Sequence[float]
+    sampling_weight: float = 1.0
+
+
+@dataclass
+class Medium:
+    """Single global homogeneous medium (ref: src/medium/homogeneous.cpp)."""
+    sigma_t: Sequence[float] = (1.0, 1.0, 1.0)
+    albedo: Sequence[float] = (0.5, 0.5, 0.5)
+    g: float = 0.0
+
+
+@dataclass
+class SceneDesc:
+    materials: list = field(default_factory=list)
+    shapes: list = field(default_factory=list)
+    point_lights: list = field(default_factory=list)
+    constant_light: Optional[ConstantLight] = None
+    envmap: Optional[object] = None        # texture/envmap.EnvmapDesc
+    medium: Optional[Medium] = None
+
+    def add_material(self, **kw) -> int:
+        self.materials.append(Material(**kw))
+        return len(self.materials) - 1
+
+    def add_shape(self, mesh, to_world=None, material=0, radiance=None,
+                  sampling_weight=1.0, flip_normals=False):
+        self.shapes.append(ShapeInstance(
+            mesh, tf.identity() if to_world is None else to_world,
+            material, radiance, sampling_weight, flip_normals))
+        return len(self.shapes) - 1
+
+
+# ---------------------------------------------------------------------------
+# Compilation
+# ---------------------------------------------------------------------------
+
+def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
+    """Bake the description into SceneData. Triangle count is padded to a
+    multiple of `cluster_size` (degenerate tris never hit)."""
+    if not desc.materials:
+        desc.materials.append(Material())
+
+    p0s, e1s, e2s, ngs, vns, vuvs = [], [], [], [], [], []
+    tri_mats, tri_ems, tri_areas = [], [], []
+    emitters = []   # list of dicts
+    em_tri_lists = []
+
+    for shape in desc.shapes:
+        mesh = shape.mesh
+        v = tf.apply_point(shape.to_world, mesh.vertices)
+        f = mesh.faces
+        p0 = v[f[:, 0]]
+        p1 = v[f[:, 1]]
+        p2 = v[f[:, 2]]
+        e1 = p1 - p0
+        e2 = p2 - p0
+        ng = np.cross(e1, e2)
+        area = 0.5 * np.linalg.norm(ng, axis=-1)
+        ngn = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True),
+                              1e-20)
+        if shape.flip_normals:
+            ngn = -ngn
+        if mesh.normals is not None:
+            n_w = tf.apply_normal(shape.to_world, mesh.normals)
+            n_w = n_w / np.maximum(
+                np.linalg.norm(n_w, axis=-1, keepdims=True), 1e-20)
+            if shape.flip_normals:
+                n_w = -n_w
+            vn = np.stack([n_w[f[:, k]] for k in range(3)], axis=1)
+        else:
+            vn = np.repeat(ngn[:, None, :], 3, axis=1)
+        if mesh.uvs is not None:
+            vuv = np.stack([mesh.uvs[f[:, k]] for k in range(3)], axis=1)
+        else:
+            vuv = np.zeros((len(f), 3, 2))
+
+        base = sum(len(x) for x in p0s)
+        tri_idx = np.arange(base, base + len(f))
+
+        em_id = -1
+        if shape.radiance is not None:
+            em_id = len(emitters)
+            emitters.append({
+                "type": S.EM_AREA,
+                "radiance": np.asarray(shape.radiance, np.float64),
+                "pos": np.zeros(3),
+                "area": float(area.sum()),
+                "weight": shape.sampling_weight,
+            })
+            em_tri_lists.append((tri_idx, area))
+
+        p0s.append(p0); e1s.append(e1); e2s.append(e2); ngs.append(ngn)
+        vns.append(vn); vuvs.append(vuv)
+        tri_mats.append(np.full(len(f), shape.material, np.int32))
+        tri_ems.append(np.full(len(f), em_id, np.int32))
+        tri_areas.append(area)
+
+    if p0s:
+        p0 = np.concatenate(p0s)
+        e1 = np.concatenate(e1s)
+        e2 = np.concatenate(e2s)
+        ng = np.concatenate(ngs)
+        vn = np.concatenate(vns)
+        vuv = np.concatenate(vuvs)
+        tri_mat = np.concatenate(tri_mats)
+        tri_em = np.concatenate(tri_ems)
+        tri_area = np.concatenate(tri_areas)
+    else:
+        p0 = np.zeros((0, 3)); e1 = np.zeros((0, 3)); e2 = np.zeros((0, 3))
+        ng = np.zeros((0, 3)); vn = np.zeros((0, 3, 3))
+        vuv = np.zeros((0, 3, 2))
+        tri_mat = np.zeros(0, np.int32); tri_em = np.zeros(0, np.int32)
+        tri_area = np.zeros(0)
+
+    # Pad triangle soup to cluster multiple with degenerate triangles
+    n_tris = len(p0)
+    padded = max(cluster_size, -(-max(n_tris, 1) // cluster_size)
+                 * cluster_size)
+    pad = padded - n_tris
+    if pad:
+        p0 = np.concatenate([p0, np.full((pad, 3), 1e30)])
+        e1 = np.concatenate([e1, np.zeros((pad, 3))])
+        e2 = np.concatenate([e2, np.zeros((pad, 3))])
+        ng = np.concatenate([ng, np.tile([0.0, 0.0, 1.0], (pad, 1))])
+        vn = np.concatenate([vn, np.tile([0.0, 0.0, 1.0], (pad, 3, 1))])
+        vuv = np.concatenate([vuv, np.zeros((pad, 3, 2))])
+        tri_mat = np.concatenate([tri_mat, np.zeros(pad, np.int32)])
+        tri_em = np.concatenate([tri_em, np.full(pad, -1, np.int32)])
+        tri_area = np.concatenate([tri_area, np.zeros(pad)])
+
+    woop_o, woop_d = build_woop(p0, e1, e2)
+
+    # Non-area emitters
+    env_id = -1
+    for pl in desc.point_lights:
+        emitters.append({
+            "type": S.EM_POINT,
+            "radiance": np.asarray(pl.intensity, np.float64),
+            "pos": np.asarray(pl.position, np.float64),
+            "area": 0.0, "weight": pl.sampling_weight})
+        em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
+    if desc.constant_light is not None:
+        env_id = len(emitters)
+        emitters.append({
+            "type": S.EM_CONSTANT,
+            "radiance": np.asarray(desc.constant_light.radiance, np.float64),
+            "pos": np.zeros(3), "area": 0.0,
+            "weight": desc.constant_light.sampling_weight})
+        em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
+
+    n_em = len(emitters)
+    if n_em:
+        em_type = np.array([e["type"] for e in emitters], np.int32)
+        em_rad = np.stack([e["radiance"] for e in emitters])
+        em_pos = np.stack([e["pos"] for e in emitters])
+        em_area = np.array([e["area"] for e in emitters])
+        em_pmf = Discrete1D.build(np.array([e["weight"] for e in emitters]))
+        offs = [0]
+        tris_flat, cdfg_flat = [], []
+        for ei, (tris, areas) in enumerate(em_tri_lists):
+            if len(tris):
+                cdf = np.cumsum(areas) / areas.sum()
+                cdf[-1] = 1.0
+                tris_flat.append(tris)
+                cdfg_flat.append(ei + cdf)
+            offs.append(offs[-1] + len(tris))
+        em_tri_offset = np.array(offs, np.int32)
+        em_tris = (np.concatenate(tris_flat).astype(np.int32)
+                   if tris_flat else np.zeros(0, np.int32))
+        em_tri_cdfg = (np.concatenate(cdfg_flat).astype(np.float32)
+                       if cdfg_flat else np.zeros(0, np.float32))
+    else:
+        em_type = np.zeros(0, np.int32)
+        em_rad = np.zeros((0, 3))
+        em_pos = np.zeros((0, 3))
+        em_area = np.zeros(0)
+        em_pmf = Discrete1D.build(np.ones(1))
+        em_tri_offset = np.zeros(1, np.int32)
+        em_tris = np.zeros(0, np.int32)
+        em_tri_cdfg = np.zeros(0, np.float32)
+
+    # Materials
+    mat_type, mat_params, mat_tex = [], [], []
+    for m in desc.materials:
+        c, p, t = m.compile()
+        mat_type.append(c); mat_params.append(p); mat_tex.append(t)
+
+    # Medium
+    if desc.medium is not None:
+        med_sigma_t = np.asarray(desc.medium.sigma_t, np.float32)[None]
+        med_albedo = np.asarray(desc.medium.albedo, np.float32)[None]
+        med_g = np.array([desc.medium.g], np.float32)
+        has_medium = np.array(True)
+    else:
+        med_sigma_t = np.zeros((1, 3), np.float32)
+        med_albedo = np.zeros((1, 3), np.float32)
+        med_g = np.zeros(1, np.float32)
+        has_medium = np.array(False)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    return S.SceneData(
+        p0=f32(p0), e1=f32(e1), e2=f32(e2), ng=f32(ng), vn=f32(vn),
+        vuv=f32(vuv), tri_mat=i32(tri_mat), tri_em=i32(tri_em),
+        tri_area=f32(tri_area),
+        woop_o=jnp.asarray(woop_o), woop_d=jnp.asarray(woop_d),
+        mat_type=i32(np.array(mat_type)),
+        mat_params=f32(np.stack(mat_params)),
+        mat_tex=i32(np.stack(mat_tex)),
+        em_type=em_type if isinstance(em_type, jnp.ndarray) else i32(em_type),
+        em_radiance=f32(em_rad), em_pos=f32(em_pos), em_area=f32(em_area),
+        em_pmf=em_pmf, em_tri_offset=i32(em_tri_offset),
+        em_tris=i32(em_tris), em_tri_cdfg=f32(em_tri_cdfg),
+        tex_data=f32(np.zeros((1, 3))), tex_meta=i32(np.zeros((1, 8))),
+        env_id=i32(env_id),
+        med_sigma_t=f32(med_sigma_t), med_albedo=f32(med_albedo),
+        med_g=f32(med_g), has_medium=jnp.asarray(has_medium),
+    )

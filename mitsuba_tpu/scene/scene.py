@@ -1,0 +1,125 @@
+"""Compiled scene representation: flat, HBM-resident structure-of-arrays.
+
+This is the TPU-native inversion of the reference's ref-counted object graph
+rooted at Scene (ref: include/mitsuba/render/scene.h:49): scene compilation
+(builder.py) bakes every shape into a world-space triangle soup, every BSDF
+into a row of a parameter table, every emitter into a row of emitter tables,
+and precomputes the Woop affine transforms that make ray-triangle
+intersection a pair of MXU matmuls (accel/dense.py). The whole scene is a
+pytree — it flows through jit/pjit/shard_map and is replicated (or sharded)
+with jax.sharding like any other array data (SURVEY.md §2.5 "read-only
+shared state").
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.distribution import Discrete1D
+
+# Material type codes (bsdf dispatch table, ref: EBSDFType bsdf.h:233)
+MAT_DIFFUSE = 0
+MAT_CONDUCTOR = 1
+MAT_ROUGH_CONDUCTOR = 2
+MAT_DIELECTRIC = 3
+MAT_PLASTIC = 4
+MAT_ROUGH_DIELECTRIC = 5
+MAT_ROUGH_PLASTIC = 6
+MAT_PHONG = 7
+MAT_WARD = 8
+MAT_ROUGH_DIFFUSE = 9
+MAT_NULL = 10
+MAT_THIN_DIELECTRIC = 11
+N_MAT_TYPES = 12
+
+# Emitter type codes (ref: EEmitterType emitter.h:76)
+EM_AREA = 0
+EM_POINT = 1
+EM_CONSTANT = 2
+EM_ENVMAP = 3
+EM_DIRECTIONAL = 4
+EM_SPOT = 5
+
+# Material parameter-table layout: mat_params[M, 16]
+# diffuse:          [0:3] albedo rgb
+# conductor:        [0:3] eta, [3:6] k, [6:9] specular reflectance
+# rough_conductor:  as conductor + [9] alpha_u [10] alpha_v [11] dist_type
+# dielectric:       [0] int_ior/ext_ior ratio eta, [1:4] spec refl, [4:7] spec trans
+# plastic:          [0] eta, [1:4] diffuse refl, [4:7] spec refl, [7] nonlinear
+# rough_dielectric: [0] eta, [1:4] spec refl, [4:7] spec trans, [9] alpha_u
+#                   [10] alpha_v [11] dist_type
+# rough_plastic:    like plastic + [9] alpha [11] dist_type
+# phong:            [0:3] diffuse refl, [3:6] spec refl, [6] exponent
+# ward:             [0:3] diffuse refl, [3:6] spec refl, [9] alpha_u [10] alpha_v
+# rough_diffuse:    [0:3] albedo, [9] alpha
+N_MAT_PARAMS = 16
+
+# mat_tex[M, 2]: texture slot per textured parameter (-1 = constant)
+# slot 0: albedo / diffuse reflectance texture id
+# slot 1: roughness texture id
+N_MAT_TEX = 2
+
+
+class Intersection(NamedTuple):
+    """Wavefront hit record — SoA analog of the reference's Intersection
+    (ref: include/mitsuba/render/shape.h:36). All fields [N, ...]."""
+    valid: jnp.ndarray      # [N] bool
+    t: jnp.ndarray          # [N] hit distance
+    p: jnp.ndarray          # [N, 3] hit position (world)
+    ng: jnp.ndarray         # [N, 3] geometric normal
+    ns: jnp.ndarray         # [N, 3] interpolated shading normal
+    uv: jnp.ndarray         # [N, 2]
+    tri_id: jnp.ndarray     # [N] int32
+    mat_id: jnp.ndarray     # [N] int32
+    em_id: jnp.ndarray      # [N] int32 (-1 = not an emitter)
+
+
+class SceneData(NamedTuple):
+    """The compiled scene. T triangles, M materials, E emitters, ET emissive
+    triangles. Triangle soup is padded to a multiple of the intersection
+    cluster size with degenerate far-away triangles."""
+    # -- geometry --------------------------------------------------------
+    p0: jnp.ndarray         # [T, 3]
+    e1: jnp.ndarray         # [T, 3] p1 - p0
+    e2: jnp.ndarray         # [T, 3] p2 - p0
+    ng: jnp.ndarray         # [T, 3] unit geometric normal
+    vn: jnp.ndarray         # [T, 3, 3] per-corner shading normals
+    vuv: jnp.ndarray        # [T, 3, 2] per-corner uvs
+    tri_mat: jnp.ndarray    # [T] int32 material id
+    tri_em: jnp.ndarray     # [T] int32 emitter id (-1 none)
+    tri_area: jnp.ndarray   # [T]
+    # -- Woop-packed intersection transforms (accel/dense.py) ------------
+    woop_o: jnp.ndarray     # [4, 3T] origin transform (affine, homogeneous)
+    woop_d: jnp.ndarray     # [3, 3T] direction transform (linear)
+    # -- materials -------------------------------------------------------
+    mat_type: jnp.ndarray   # [M] int32
+    mat_params: jnp.ndarray  # [M, N_MAT_PARAMS]
+    mat_tex: jnp.ndarray    # [M, N_MAT_TEX] int32
+    # -- emitters --------------------------------------------------------
+    em_type: jnp.ndarray     # [E] int32
+    em_radiance: jnp.ndarray  # [E, 3] radiance (area/env) or intensity (point)
+    em_pos: jnp.ndarray      # [E, 3] position (point) / direction (directional)
+    em_area: jnp.ndarray     # [E] total surface area of area emitters
+    em_pmf: Discrete1D       # emitter-selection distribution (scene.cpp:378)
+    em_tri_offset: jnp.ndarray  # [E+1] int32 segment offsets into em_tris
+    em_tris: jnp.ndarray     # [ET] int32 global triangle ids
+    em_tri_cdfg: jnp.ndarray  # [ET] "globalized" cdf: emitter_index + within-cdf
+    # -- textures (atlas of mip pyramids; texture/texture.py) -------------
+    tex_data: jnp.ndarray    # [TEXELS, 3] flattened texel pool (all mips)
+    tex_meta: jnp.ndarray    # [NTEX, 8] int32: offset,w,h,n_mips,wrap,filter,...
+    # -- environment -----------------------------------------------------
+    env_id: jnp.ndarray      # scalar int32: emitter id of env light (-1 none)
+    # -- media (homogeneous; media/homogeneous.py) -----------------------
+    med_sigma_t: jnp.ndarray  # [1, 3] extinction of the (single) global medium
+    med_albedo: jnp.ndarray   # [1, 3] single-scattering albedo
+    med_g: jnp.ndarray        # [1] HG asymmetry
+    has_medium: jnp.ndarray   # scalar bool
+
+    @property
+    def n_tris(self):
+        return self.p0.shape[0]
+
+    @property
+    def n_emitters(self):
+        return self.em_type.shape[0]

@@ -1,0 +1,488 @@
+"""Independent CPU oracle renderer (pure numpy).
+
+The BASELINE.md correctness target is "image + pixel gradients allclose vs
+reference CPU renderer, matched scenes and seeds". The reference fork's own
+sampler ignores seeds (SURVEY Appendix A.8), so the oracle is this renderer:
+a from-first-principles numpy path tracer that consumes the *same* PCG4D
+counter stream as the JAX framework (tests/oracle/rng.py) and implements the
+same estimator (NEE + power-heuristic MIS + RR with the reference's
+semantics). With matched (seed, pixel, sample, dim) draws the two renderers
+compute the same Monte Carlo estimate up to f32 rounding — so allclose is a
+meaningful end-to-end equality test, not a statistical one.
+
+Implementation notes: brute-force Möller–Trumbore intersection (no Woop
+transform — an independent formulation), explicit loops replaced by numpy
+vectorization over the wavefront. Supports diffuse/conductor/roughconductor
+materials, area/point/constant emitters — the BASELINE config-1/2 feature
+set.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import rng
+
+# ---- mirrored constants ---------------------------------------------------
+SHADOW_EPS = 1e-3
+SENSOR_DIMS = 4
+DIMS_PER_BOUNCE = 6
+DIM_NEE_SEL, DIM_NEE_POS, DIM_BSDF_U2, DIM_BSDF_U1, DIM_RR = 0, 1, 2, 3, 4
+
+
+def bounce_dim(b, off):
+    return SENSOR_DIMS + b * DIMS_PER_BOUNCE + off
+
+
+def normalize(v):
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
+def dot(a, b):
+    return np.sum(a * b, axis=-1)
+
+
+def coordinate_system(n):
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    sign = np.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    s = np.stack([1.0 + sign * nx * nx * a, sign * b, -sign * nx], -1)
+    t = np.stack([b, sign + ny * ny * a, -ny], -1)
+    return s, t
+
+
+def to_local(s, t, n, v):
+    return np.stack([dot(v, s), dot(v, t), dot(v, n)], -1)
+
+
+def to_world(s, t, n, v):
+    return s * v[..., 0:1] + t * v[..., 1:2] + n * v[..., 2:3]
+
+
+def concentric_disk(u):
+    ox = 2 * u[..., 0] - 1
+    oy = 2 * u[..., 1] - 1
+    is_zero = (ox == 0) & (oy == 0)
+    use_x = np.abs(ox) > np.abs(oy)
+    r = np.where(use_x, ox, oy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(use_x, oy / np.where(ox == 0, 1, ox),
+                         ox / np.where(oy == 0, 1, oy))
+    ratio = np.where(is_zero, 0.0, ratio)
+    phi = np.where(use_x, ratio * np.pi / 4, np.pi / 2 - ratio * np.pi / 4)
+    r = np.where(is_zero, 0.0, r)
+    return np.stack([r * np.cos(phi), r * np.sin(phi)], -1)
+
+
+def cosine_hemisphere(u):
+    p = concentric_disk(u)
+    z = np.sqrt(np.maximum(1 - p[..., 0] ** 2 - p[..., 1] ** 2, 0))
+    return np.stack([p[..., 0], p[..., 1], z], -1)
+
+
+def uniform_triangle(u):
+    t = np.sqrt(np.maximum(1 - u[..., 0], 0))
+    return np.stack([1 - t, u[..., 1] * t], -1)
+
+
+def mis_power(pa, pb):
+    a2 = pa * pa
+    return np.where(pa > 0, a2 / np.maximum(a2 + pb * pb, 1e-30), 0.0)
+
+
+def fresnel_conductor(cos_i, eta, k):
+    c = np.maximum(cos_i, 0.0)[..., None]
+    c2 = c * c
+    s2 = 1 - c2
+    e2, k2 = eta * eta, k * k
+    t0 = e2 - k2 - s2
+    a2pb2 = np.sqrt(np.maximum(t0 * t0 + 4 * e2 * k2, 0))
+    t1 = a2pb2 + c2
+    a = np.sqrt(np.maximum(0.5 * (a2pb2 + t0), 0))
+    t2 = 2 * a * c
+    rs = (t1 - t2) / np.maximum(t1 + t2, 1e-20)
+    t3 = c2 * a2pb2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / np.maximum(t3 + t4, 1e-20)
+    return 0.5 * (rp + rs)
+
+
+class OracleScene:
+    """Flat numpy copy of a compiled SceneData."""
+
+    def __init__(self, scene):
+        g = lambda x: np.asarray(x, np.float64)
+        self.p0, self.e1, self.e2 = g(scene.p0), g(scene.e1), g(scene.e2)
+        self.ng = g(scene.ng)
+        self.tri_mat = np.asarray(scene.tri_mat)
+        self.tri_em = np.asarray(scene.tri_em)
+        self.mat_type = np.asarray(scene.mat_type)
+        self.mat_params = g(scene.mat_params)
+        self.em_type = np.asarray(scene.em_type)
+        self.em_radiance = g(scene.em_radiance)
+        self.em_pos = g(scene.em_pos)
+        self.em_area = g(scene.em_area)
+        self.em_pmf = np.asarray(scene.em_pmf.pmf, np.float64)
+        self.em_cdf = np.asarray(scene.em_pmf.cdf, np.float64)
+        self.em_tris = np.asarray(scene.em_tris)
+        self.em_tri_cdfg = np.asarray(scene.em_tri_cdfg, np.float64)
+        self.env_id = int(scene.env_id)
+        # drop padded degenerate triangles for intersection speed
+        real = np.linalg.norm(np.cross(self.e1, self.e2), axis=-1) > 1e-18
+        self.real_idx = np.nonzero(real)[0]
+
+    def intersect(self, o, d, mint, maxt):
+        """Möller–Trumbore, all real triangles. Returns (t, tri, hit, u, v)."""
+        ri = self.real_idx
+        p0, e1, e2 = self.p0[ri], self.e1[ri], self.e2[ri]
+        # [N, T] computations in chunks to bound memory
+        n = o.shape[0]
+        best_t = np.full(n, np.inf)
+        best_tri = np.zeros(n, np.int64)
+        best_u = np.zeros(n)
+        best_v = np.zeros(n)
+        chunk = 2048
+        for s in range(0, len(ri), chunk):
+            cp0, ce1, ce2 = p0[s:s + chunk], e1[s:s + chunk], e2[s:s + chunk]
+            pvec = np.cross(d[:, None, :], ce2[None])         # [N, C, 3]
+            det = np.sum(ce1[None] * pvec, axis=-1)
+            inv_det = 1.0 / np.where(np.abs(det) < 1e-14, 1e-14, det)
+            tvec = o[:, None, :] - cp0[None]
+            u = np.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = np.cross(tvec, ce1[None])
+            v = np.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+            t = np.sum(ce2[None] * qvec, axis=-1) * inv_det
+            ok = ((np.abs(det) > 1e-14) & (u >= 0) & (v >= 0) & (u + v <= 1)
+                  & (t > mint[:, None]) & (t < maxt[:, None]))
+            t = np.where(ok, t, np.inf)
+            ci = np.argmin(t, axis=1)
+            ar = np.arange(n)
+            tc = t[ar, ci]
+            closer = tc < best_t
+            best_t = np.where(closer, tc, best_t)
+            best_tri = np.where(closer, ri[s + ci], best_tri)
+            best_u = np.where(closer, u[ar, ci], best_u)
+            best_v = np.where(closer, v[ar, ci], best_v)
+        return best_t, best_tri, np.isfinite(best_t), best_u, best_v
+
+    def occluded(self, o, d, mint, maxt):
+        t, _, hit, _, _ = self.intersect(o, d, mint, maxt)
+        return hit
+
+
+def _ray_mint(p):
+    return 1e-4 * (1.0 + np.max(np.abs(p), axis=-1))
+
+
+def _offset(p, ng, d):
+    scale = 1.0 + np.max(np.abs(p), axis=-1)
+    eps = (1e-4 * scale)[..., None]
+    side = np.sign(dot(d, ng))[..., None]
+    return p + side * eps * ng
+
+
+def _sample_direct(sc: OracleScene, ref_p, u_sel, u2):
+    # emitter pick with reuse
+    em = np.clip(np.searchsorted(sc.em_cdf, u_sel, side="right") - 1,
+                 0, len(sc.em_pmf) - 1)
+    pmf = sc.em_pmf[em]
+    lo = sc.em_cdf[em]
+    u_re = np.clip((u_sel - lo) / np.maximum(pmf, 1e-20), 0, 1 - 1e-7)
+    # triangle pick (area emitters)
+    key = em.astype(np.float64) + u_re
+    hi = np.clip(np.searchsorted(sc.em_tri_cdfg, key, side="right"),
+                 0, max(len(sc.em_tris) - 1, 0))
+    tri = sc.em_tris[hi] if len(sc.em_tris) else np.zeros_like(em)
+    bar = uniform_triangle(u2)
+    p_l = (sc.p0[tri] + bar[..., 0:1] * sc.e1[tri]
+           + bar[..., 1:2] * sc.e2[tri])
+    n_l = sc.ng[tri]
+    to_l = p_l - ref_p
+    dist2 = np.maximum(np.sum(to_l ** 2, -1), 1e-12)
+    dist = np.sqrt(dist2)
+    d_l = to_l / dist[..., None]
+    cos_l = -dot(d_l, n_l)
+    em_area = sc.em_area[em]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pdf_area = np.where(cos_l > 1e-6,
+                            dist2 / np.maximum(cos_l * em_area, 1e-20), 0.0)
+    etype = sc.em_type[em]
+    is_area = etype == 0
+    is_point = etype == 1
+    is_env = (etype == 2) | (etype == 3)
+    # point
+    to_p = sc.em_pos[em] - ref_p
+    pd2 = np.maximum(np.sum(to_p ** 2, -1), 1e-12)
+    pd = np.sqrt(pd2)
+    d_p = to_p / pd[..., None]
+    # constant env
+    z = 1 - 2 * u2[..., 0]
+    r = np.sqrt(np.maximum(1 - z * z, 0))
+    ph = 2 * np.pi * u2[..., 1]
+    d_e = np.stack([r * np.cos(ph), r * np.sin(ph), z], -1)
+
+    d_out = np.where(is_area[..., None], d_l,
+                     np.where(is_point[..., None], d_p, d_e))
+    dist_out = np.where(is_area, dist, np.where(is_point, pd, np.inf))
+    pdf = np.where(is_area, pdf_area * pmf,
+                   np.where(is_point, pmf, pmf / (4 * np.pi)))
+    rad = sc.em_radiance[em]
+    value = np.where(
+        is_point[..., None], rad / pd2[..., None] / pmf[..., None],
+        np.where(pdf[..., None] > 0, rad / np.maximum(pdf, 1e-30)[..., None],
+                 0.0))
+    return d_out, dist_out, pdf, value, is_point, em
+
+
+def _pdf_direct_area(sc, em_id, dist, cos_l):
+    ok = (em_id >= 0) & (cos_l > 1e-6)
+    eid = np.maximum(em_id, 0)
+    pdf = dist ** 2 / np.maximum(cos_l * sc.em_area[eid], 1e-20) \
+        * sc.em_pmf[eid]
+    return np.where(ok, pdf, 0.0)
+
+
+def _eval_bsdf(sc, mat_id, wi, wo):
+    """f·cosθo for smooth lobes (diffuse + roughconductor GGX)."""
+    mt = sc.mat_type[np.maximum(mat_id, 0)]
+    p = sc.mat_params[np.maximum(mat_id, 0)]
+    out = np.zeros(wi.shape[:-1] + (3,))
+    # diffuse
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    fd = p[..., 0:3] / np.pi * np.maximum(wo[..., 2], 0)[..., None]
+    out = np.where(((mt == 0) & valid)[..., None], fd, out)
+    # roughconductor (GGX, isotropic assumed in oracle)
+    a = np.maximum(p[..., 9], 1e-4)
+    h = normalize(wi + wo)
+    t = (h[..., 0] / a) ** 2 + (h[..., 1] / a) ** 2 + h[..., 2] ** 2
+    d_ndf = np.where(h[..., 2] > 0,
+                     1.0 / (np.pi * a * a * np.maximum(t * t, 1e-20)), 0.0)
+
+    def g1(v):
+        ct = v[..., 2]
+        tan = np.sqrt(np.maximum(1 - ct * ct, 0)) / np.maximum(np.abs(ct),
+                                                               1e-12)
+        g = 2.0 / (1 + np.sqrt(1 + (a * tan) ** 2))
+        g = np.where(tan < 1e-6, 1.0, g)
+        return np.where(dot(v, h) * ct <= 0, 0.0, g)
+
+    fr = fresnel_conductor(dot(wi, h), p[..., 0:3], p[..., 3:6])
+    spec = p[..., 6:9]
+    val = fr * spec * (d_ndf * g1(wi) * g1(wo)
+                       / np.maximum(4 * wi[..., 2], 1e-7))[..., None]
+    out = np.where(((mt == 2) & valid)[..., None], val, out)
+    return out
+
+
+def _pdf_bsdf(sc, mat_id, wi, wo):
+    mt = sc.mat_type[np.maximum(mat_id, 0)]
+    p = sc.mat_params[np.maximum(mat_id, 0)]
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    out = np.where((mt == 0) & valid,
+                   np.maximum(wo[..., 2], 0) / np.pi, 0.0)
+    # roughconductor visible-normal pdf
+    a = np.maximum(p[..., 9], 1e-4)
+    h = normalize(wi + wo)
+    t = (h[..., 0] / a) ** 2 + (h[..., 1] / a) ** 2 + h[..., 2] ** 2
+    d_ndf = np.where(h[..., 2] > 0,
+                     1.0 / (np.pi * a * a * np.maximum(t * t, 1e-20)), 0.0)
+    ct = wi[..., 2]
+    tan = np.sqrt(np.maximum(1 - ct * ct, 0)) / np.maximum(np.abs(ct), 1e-12)
+    g1i = 2.0 / (1 + np.sqrt(1 + (a * tan) ** 2))
+    g1i = np.where(tan < 1e-6, 1.0, g1i)
+    g1i = np.where(dot(wi, h) * ct <= 0, 0.0, g1i)
+    pdf_h = g1i * np.abs(dot(wi, h)) * d_ndf / np.maximum(ct, 1e-12)
+    pdf_rc = pdf_h / np.maximum(4 * np.abs(dot(wo, h)), 1e-7)
+    out = np.where((mt == 2) & valid, pdf_rc, out)
+    return out
+
+
+def _sample_bsdf(sc, mat_id, wi, u2, u1):
+    """Returns (wo, weight, pdf, is_delta). Mirrors bsdf.py samplers."""
+    mt = sc.mat_type[np.maximum(mat_id, 0)]
+    p = sc.mat_params[np.maximum(mat_id, 0)]
+    n = wi.shape[0]
+    wo = np.zeros((n, 3))
+    weight = np.zeros((n, 3))
+    pdf = np.zeros(n)
+    delta = np.zeros(n, bool)
+    # diffuse
+    wo_d = cosine_hemisphere(u2)
+    pdf_d = np.maximum(wo_d[..., 2], 0) / np.pi
+    sel = mt == 0
+    wo = np.where(sel[..., None], wo_d, wo)
+    weight = np.where(sel[..., None],
+                      np.where((wi[..., 2] > 0)[..., None], p[..., 0:3], 0.0),
+                      weight)
+    pdf = np.where(sel, np.where(wi[..., 2] > 0, pdf_d, 0.0), pdf)
+    # conductor (delta)
+    sel = mt == 1
+    wo_c = np.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], -1)
+    fr = fresnel_conductor(wi[..., 2], p[..., 0:3], p[..., 3:6]) * p[..., 6:9]
+    wo = np.where(sel[..., None], wo_c, wo)
+    weight = np.where(sel[..., None],
+                      np.where((wi[..., 2] > 0)[..., None], fr, 0.0), weight)
+    pdf = np.where(sel, np.where(wi[..., 2] > 0, 1.0, 0.0), pdf)
+    delta = delta | (sel & (wi[..., 2] > 0))
+    # roughconductor: VNDF sample (Heitz 2018), isotropic
+    sel = mt == 2
+    if sel.any():
+        a = np.maximum(p[..., 9], 1e-4)
+        flip = wi[..., 2] < 0
+        wif = np.where(flip[..., None], -wi, wi)
+        vh = normalize(np.stack([a * wif[..., 0], a * wif[..., 1],
+                                 wif[..., 2]], -1))
+        lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+        inv_len = 1.0 / np.sqrt(np.maximum(lensq, 1e-20))
+        t1 = np.where((lensq > 1e-20)[..., None],
+                      np.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len,
+                                np.zeros(n)], -1),
+                      np.broadcast_to([1.0, 0, 0], vh.shape))
+        t2 = np.cross(vh, t1)
+        r = np.sqrt(u2[..., 0])
+        phi = 2 * np.pi * u2[..., 1]
+        p1 = r * np.cos(phi)
+        p2 = r * np.sin(phi)
+        s = 0.5 * (1 + vh[..., 2])
+        p2 = (1 - s) * np.sqrt(np.maximum(1 - p1 * p1, 0)) + s * p2
+        nh = (p1[..., None] * t1 + p2[..., None] * t2
+              + np.sqrt(np.maximum(1 - p1 ** 2 - p2 ** 2, 0))[..., None] * vh)
+        m = normalize(np.stack([a * nh[..., 0], a * nh[..., 1],
+                                np.maximum(nh[..., 2], 1e-6)], -1))
+        m = np.where(flip[..., None], -m, m)
+        wo_r = 2 * dot(wi, m)[..., None] * m - wi
+        pdf_r = _pdf_bsdf(sc, np.where(mt == 2, mat_id, 0), wi, wo_r)
+        # weight = F spec G1(wo)
+        h = m
+        fr2 = fresnel_conductor(dot(wi, h), p[..., 0:3], p[..., 3:6])
+        ct_o = wo_r[..., 2]
+        tan_o = np.sqrt(np.maximum(1 - ct_o ** 2, 0)) / np.maximum(
+            np.abs(ct_o), 1e-12)
+        g1o = 2.0 / (1 + np.sqrt(1 + (a * tan_o) ** 2))
+        g1o = np.where(tan_o < 1e-6, 1.0, g1o)
+        g1o = np.where(dot(wo_r, h) * ct_o <= 0, 0.0, g1o)
+        w_r = fr2 * p[..., 6:9] * g1o[..., None]
+        ok = (wi[..., 2] > 1e-7) & (ct_o > 1e-7) & (pdf_r > 0)
+        wo = np.where(sel[..., None], wo_r, wo)
+        weight = np.where((sel & ok)[..., None], w_r,
+                          np.where(sel[..., None], 0.0, weight))
+        pdf = np.where(sel, np.where(ok, pdf_r, 0.0), pdf)
+    return wo, weight, pdf, delta
+
+
+def render_oracle(scene, camera, width, height, spp, seed, max_depth=8,
+                  rr_depth=5):
+    """Render with the oracle path tracer; box filter. Returns [H, W, 3]."""
+    sc = OracleScene(scene)
+    n = width * height
+    px = np.arange(n, dtype=np.uint32)
+    pix_x = (px % width).astype(np.float64)
+    pix_y = (px // width).astype(np.float64)
+    img = np.zeros((height, width, 3))
+
+    for s in range(spp):
+        path_id = px + np.uint32(s) * np.uint32(n)
+        jit = rng.sample_2d(seed, path_id, 0).astype(np.float64)
+        pos = np.stack([pix_x + jit[:, 0], pix_y + jit[:, 1]], -1)
+        o, d = camera.sample_ray(pos.astype(np.float32))
+        o = np.asarray(o, np.float64)
+        d = np.asarray(d, np.float64)
+        L = _li(sc, o, d, seed, path_id, max_depth, rr_depth)
+        ix = np.clip(np.floor(pos[:, 0]).astype(int), 0, width - 1)
+        iy = np.clip(np.floor(pos[:, 1]).astype(int), 0, height - 1)
+        np.add.at(img, (iy, ix), L)
+    return img / spp
+
+
+def _li(sc, o, d, seed, path_id, max_depth, rr_depth):
+    n = o.shape[0]
+    L = np.zeros((n, 3))
+    throughput = np.ones((n, 3))
+    active = np.ones(n, bool)
+    prev_pdf = np.ones(n)
+    prev_delta = np.ones(n, bool)
+    eta_scale = np.ones(n)
+
+    for bounce in range(max_depth):
+        t, tri, hit, _, _ = sc.intersect(o, d, _ray_mint(o),
+                                         np.full(n, np.inf))
+        hit = hit & active
+        # escaped → constant env
+        escaped = active & ~hit
+        if sc.env_id >= 0:
+            rad = sc.em_radiance[sc.env_id]
+            env_pdf = sc.em_pmf[sc.env_id] / (4 * np.pi)
+            w = np.where(prev_delta, 1.0, mis_power(prev_pdf, env_pdf))
+            L += np.where(escaped[..., None],
+                          throughput * rad * w[..., None], 0.0)
+        tri_c = np.where(hit, tri, 0)
+        ng = sc.ng[tri_c]
+        t_safe = np.where(hit, t, 0.0)
+        p = o + t_safe[..., None] * d
+        em_id = np.where(hit, sc.tri_em[tri_c], -1)
+        mat_id = np.where(hit, sc.tri_mat[tri_c], -1)
+        cos_surf = -dot(d, ng)
+        # emitter hit
+        has_em = hit & (em_id >= 0) & (cos_surf > 0)
+        le = sc.em_radiance[np.maximum(em_id, 0)]
+        nee_pdf = _pdf_direct_area(sc, em_id, t, cos_surf)
+        w_hit = np.where(prev_delta, 1.0, mis_power(prev_pdf, nee_pdf))
+        L += np.where(has_em[..., None],
+                      throughput * le * w_hit[..., None], 0.0)
+
+        depth = bounce + 2
+        # shading frame (flat shading in oracle → use geometric normal;
+        # Cornell scenes have face normals == shading normals)
+        sf, tf_ = coordinate_system(ng)
+        wi_l = to_local(sf, tf_, ng, -d)
+        # NEE
+        u_sel = rng.sample_1d(seed, path_id,
+                              bounce_dim(bounce, DIM_NEE_SEL)).astype(
+                                  np.float64)
+        u_pos = rng.sample_2d(seed, path_id,
+                              bounce_dim(bounce, DIM_NEE_POS)).astype(
+                                  np.float64)
+        ds_d, ds_dist, ds_pdf, ds_val, ds_delta, _ = _sample_direct(
+            sc, p, u_sel, u_pos)
+        nee_ok = hit & (depth + 1 <= max_depth + 1) & (ds_pdf > 0)
+        wo_nee = to_local(sf, tf_, ng, ds_d)
+        f_nee = _eval_bsdf(sc, mat_id, wi_l, wo_nee)
+        contributes = nee_ok & np.any(f_nee > 0, axis=-1)
+        so = _offset(p, ng, ds_d)
+        smax = np.where(np.isinf(ds_dist), 1e30, ds_dist * (1 - SHADOW_EPS))
+        occ = sc.occluded(so, ds_d, _ray_mint(so), smax)
+        contributes &= ~occ
+        bp = _pdf_bsdf(sc, mat_id, wi_l, wo_nee)
+        w_nee = np.where(ds_delta, 1.0, mis_power(ds_pdf, bp))
+        L += np.where(contributes[..., None],
+                      throughput * ds_val * f_nee * w_nee[..., None], 0.0)
+        # BSDF sample
+        u2 = rng.sample_2d(seed, path_id,
+                           bounce_dim(bounce, DIM_BSDF_U2)).astype(np.float64)
+        u1 = rng.sample_1d(seed, path_id,
+                           bounce_dim(bounce, DIM_BSDF_U1)).astype(np.float64)
+        wo, wgt, bpdf, bdelta = _sample_bsdf(sc, mat_id, wi_l, u2, u1)
+        d_next = to_world(sf, tf_, ng, wo)
+        o_next = _offset(p, ng, d_next)
+        tp_next = throughput * wgt
+        alive = hit & (bpdf > 0) & np.any(tp_next > 0, axis=-1) \
+            & (depth <= max_depth)
+        # RR
+        q = np.minimum(np.max(tp_next, -1) * eta_scale ** 2, 0.95)
+        u_rr = rng.sample_1d(seed, path_id,
+                             bounce_dim(bounce, DIM_RR)).astype(np.float64)
+        if depth >= rr_depth:
+            rr_cont = u_rr < q
+            tp_next = np.where(rr_cont[..., None],
+                               tp_next / np.maximum(q, 1e-6)[..., None],
+                               tp_next)
+            alive &= rr_cont
+        o = o_next
+        d = np.where(alive[..., None], d_next, d)
+        throughput = np.where(alive[..., None], tp_next, 0.0)
+        active = alive
+        prev_pdf = np.where(bdelta, 1.0, bpdf)
+        prev_delta = bdelta
+        if not active.any():
+            break
+    return L
