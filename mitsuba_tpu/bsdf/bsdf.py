@@ -105,7 +105,7 @@ def roughdiffuse_sample(p, wi, u2, u1):
     wo = square_to_cosine_hemisphere(u2)
     pdf = diffuse_pdf(p, wi, wo)
     f = roughdiffuse_eval(p, wi, wo)
-    w = jnp.where(pdf[..., None] > 0, f / jnp.maximum(pdf, 1e-20)[..., None],
+    w = jnp.where(pdf[..., None] > 0, f / jnp.maximum(pdf, 1e-6)[..., None],
                   0.0)
     return wo, w, pdf, jnp.zeros(wi.shape[:-1], bool), jnp.ones(wi.shape[:-1])
 
@@ -188,7 +188,7 @@ def roughconductor_sample(p, wi, u2, u1):
 # ---------------------------------------------------------------------------
 
 def dielectric_sample(p, wi, u2, u1):
-    eta_ratio = p[..., 0]
+    eta_ratio = jnp.maximum(p[..., 0], 1e-3)  # grad-safe on masked lanes
     spec_r, spec_t = p[..., 1:4], p[..., 4:7]
     ct_i = _cos_theta(wi)
     f, cos_t, eta_it, eta_ti = fresnel_dielectric(ct_i, eta_ratio)
@@ -218,7 +218,7 @@ def dielectric_pdf(p, wi, wo):
 # ---------------------------------------------------------------------------
 
 def thindielectric_sample(p, wi, u2, u1):
-    eta_ratio = p[..., 0]
+    eta_ratio = jnp.maximum(p[..., 0], 1e-3)
     spec_r, spec_t = p[..., 1:4], p[..., 4:7]
     ct_i = _cos_theta(wi)
     f, _, _, _ = fresnel_dielectric(jnp.abs(ct_i), eta_ratio)
@@ -238,7 +238,7 @@ def thindielectric_sample(p, wi, u2, u1):
 # ---------------------------------------------------------------------------
 
 def _plastic_parts(p):
-    eta = p[..., 0]
+    eta = jnp.maximum(p[..., 0], 1e-3)  # grad-safe on masked lanes
     kd = p[..., 1:4]
     ks = p[..., 4:7]
     nonlinear = p[..., 7]
@@ -308,7 +308,8 @@ def phong_eval(p, wi, wo):
     kd, ks, n = p[..., 0:3], p[..., 3:6], p[..., 6]
     ct_o = jnp.maximum(_cos_theta(wo), 0.0)
     r = reflect(wi)
-    alpha = jnp.maximum(dot(r, wo), 0.0)
+    # floor keeps d/dn alpha^n = ln(alpha)·alpha^n finite on masked lanes
+    alpha = jnp.maximum(dot(r, wo), 1e-7)
     glossy = ks * ((n + 2.0) * (0.5 * INV_PI)
                    * jnp.power(alpha, n) * ct_o)[..., None]
     diff = kd * (INV_PI * ct_o)[..., None]
@@ -327,7 +328,7 @@ def phong_pdf(p, wi, wo):
     n = p[..., 6]
     prob_s = _phong_spec_prob(p)
     r = reflect(wi)
-    alpha = jnp.maximum(dot(r, wo), 0.0)
+    alpha = jnp.maximum(dot(r, wo), 1e-7)
     pdf_s = (n + 1.0) * (0.5 * INV_PI) * jnp.power(alpha, n)
     pdf_d = square_to_cosine_hemisphere_pdf(wo)
     valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0)
@@ -351,8 +352,8 @@ def phong_sample(p, wi, u2, u1):
     wo = jnp.where(pick_s[..., None], wo_s, wo_d)
     pdf = phong_pdf(p, wi, wo)
     f = phong_eval(p, wi, wo)
-    w = jnp.where(pdf[..., None] > 1e-12,
-                  f / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
+    w = jnp.where(pdf[..., None] > 1e-6,
+                  f / jnp.maximum(pdf, 1e-6)[..., None], 0.0)
     return wo, w, pdf, jnp.zeros(wi.shape[:-1], bool), jnp.ones(
         wi.shape[:-1])
 

@@ -19,6 +19,9 @@ def fresnel_dielectric(cos_theta_i, eta):
     cos_theta_t carries the transmitted-side sign, matching the reference's
     fresnelDielectricExt (util.h:473 / util.cpp).
     """
+    # clamp keeps values/gradients finite when this runs masked-off on
+    # non-dielectric wavefront lanes whose eta rows are zero
+    eta = jnp.maximum(eta, 1e-3)
     outside = cos_theta_i >= 0.0
     eta_it = jnp.where(outside, eta, 1.0 / eta)   # relative ior along transmission
     eta_ti = 1.0 / eta_it
@@ -26,10 +29,13 @@ def fresnel_dielectric(cos_theta_i, eta):
     cos_i = jnp.abs(cos_theta_i)
     sin_t2 = eta_ti * eta_ti * (1.0 - cos_i * cos_i)
     tir = sin_t2 >= 1.0
-    cos_t = safe_sqrt(1.0 - sin_t2)
+    # floor: d/dx sqrt(x)|₀ = inf would NaN masked-lane gradients at TIR
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 1e-12))
+    cos_t = jnp.where(tir, 0.0, cos_t)
 
-    rs = (cos_i - eta_it * cos_t) / jnp.maximum(cos_i + eta_it * cos_t, 1e-20)
-    rp = (eta_it * cos_i - cos_t) / jnp.maximum(eta_it * cos_i + cos_t, 1e-20)
+    # 1e-4 floors keep 1/den² finite in f32 backward at grazing incidence
+    rs = (cos_i - eta_it * cos_t) / jnp.maximum(cos_i + eta_it * cos_t, 1e-4)
+    rp = (eta_it * cos_i - cos_t) / jnp.maximum(eta_it * cos_i + cos_t, 1e-4)
     f = 0.5 * (rs * rs + rp * rp)
     f = jnp.where(tir, 1.0, f)
     # transmitted cosine is on the opposite side of the interface
@@ -50,14 +56,16 @@ def fresnel_conductor_exact(cos_theta_i, eta, k):
     k2 = k * k
 
     t0 = e2 - k2 - s2
-    a2pb2 = safe_sqrt(t0 * t0 + 4.0 * e2 * k2)
+    # sqrt args floored at a tiny positive value: d/dx sqrt(0) = inf would
+    # poison gradients on lanes where this family is masked off
+    a2pb2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 1e-12))
     t1 = a2pb2 + c2
-    a = safe_sqrt(0.5 * (a2pb2 + t0))
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2pb2 + t0), 1e-12))
     t2 = 2.0 * a * c
-    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-6)
     t3 = c2 * a2pb2 + s2 * s2
     t4 = t2 * s2
-    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-6)
     return 0.5 * (rp + rs)
 
 

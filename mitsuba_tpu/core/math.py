@@ -58,8 +58,11 @@ def safe_rsqrt(x):
     return jax.lax.rsqrt(jnp.maximum(x, 1e-30))
 
 
-def safe_div(a, b, eps: float = 1e-20):
-    """a/b with b==0 mapped to 0 (sign-preserving guard)."""
+def safe_div(a, b, eps: float = 1e-8):
+    """a/b with tiny b clamped (sign-preserving guard).
+
+    eps is 1e-8, not smaller: the backward pass computes a/b² and f32
+    overflows past ~1e38 — inf partials turn masked lanes into NaN grads."""
     return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
 
 

@@ -33,14 +33,15 @@ def eval_d(m, alpha_u, alpha_v, dist_type):
     mx, my, mz = m[..., 0], m[..., 1], m[..., 2]
     cos2 = mz * mz
 
+    # (1e-12 floors: keep f32 backward partials finite on masked lanes)
     # GGX: 1 / (pi au av (x²/au² + y²/av² + z²)²)
     t = (mx / alpha_u) ** 2 + (my / alpha_v) ** 2 + cos2
-    d_ggx = 1.0 / (jnp.pi * alpha_u * alpha_v * jnp.maximum(t * t, 1e-20))
+    d_ggx = 1.0 / (jnp.pi * alpha_u * alpha_v * jnp.maximum(t * t, 1e-12))
 
     # Beckmann: exp(-(x²/au² + y²/av²)/z²) / (pi au av z⁴)
-    ex = -((mx / alpha_u) ** 2 + (my / alpha_v) ** 2) / jnp.maximum(cos2, 1e-20)
+    ex = -((mx / alpha_u) ** 2 + (my / alpha_v) ** 2) / jnp.maximum(cos2, 1e-12)
     d_beck = jnp.exp(ex) / (jnp.pi * alpha_u * alpha_v
-                            * jnp.maximum(cos2 * cos2, 1e-20))
+                            * jnp.maximum(cos2 * cos2, 1e-12))
 
     d = jnp.where(jnp.asarray(dist_type) == GGX, d_ggx, d_beck)
     return jnp.where(mz > 0.0, d, 0.0)

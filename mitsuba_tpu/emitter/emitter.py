@@ -20,11 +20,15 @@ from ..core.warp import (INV_FOUR_PI, square_to_uniform_sphere,
 from ..scene import scene as S
 
 
+# sentinel "distance" for environment samples (finite: inf breaks AD)
+ENV_DIST = 1e30
+
+
 class DirectSample(NamedTuple):
     """Result of NEE sampling toward an emitter (ref: DirectSamplingRecord,
     emitter.h:580). All [N, ...]."""
     d: jnp.ndarray          # [N, 3] unit direction ref → emitter
-    dist: jnp.ndarray       # [N] distance (inf for env/directional)
+    dist: jnp.ndarray       # [N] distance (ENV_DIST sentinel for env)
     pdf: jnp.ndarray        # [N] solid-angle pdf (0 ⇒ invalid sample)
     value: jnp.ndarray      # [N, 3] radiance / pdf-weighted contribution:
     #                         emitted radiance divided by pdf (incl. emitter pick)
@@ -99,8 +103,10 @@ def sample_direct(scene: S.SceneData, ref_p, u_sel, u2) -> DirectSample:
 
     d = jnp.where(is_area[..., None], d_area,
                   jnp.where(is_point[..., None], d_point, d_env))
+    # env "distance": large finite sentinel (an inf literal would make the
+    # AD transpose produce inf·0 NaNs and trips jax_debug_nans)
     dist = jnp.where(is_area, dist_area,
-                     jnp.where(is_point, pdist, jnp.inf))
+                     jnp.where(is_point, pdist, ENV_DIST))
     pdf_sa = jnp.where(is_area, pdf_area,
                        jnp.where(is_point, 1.0, pdf_env))
     # fold emitter-pick probability into the pdf (scene.cpp:846 dRec.pdf *= emPdf)

@@ -27,10 +27,13 @@ def bounce_dim(bounce, offset):
 
 
 def mis_power(pdf_a, pdf_b):
-    """Power heuristic β=2 (ref: path.cpp:385-388 miWeight)."""
-    a2 = pdf_a * pdf_a
-    return jnp.where(pdf_a > 0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30),
-                     0.0)
+    """Power heuristic β=2 (ref: path.cpp:385-388 miWeight).
+
+    Computed in ratio form 1/(1 + (b/a)²) with a clamped ratio: the naive
+    a²/(a²+b²) overflows f32 in the backward pass when a pdf is huge
+    (near-grazing NEE samples), poisoning gradients with inf·0 NaNs."""
+    r = jnp.clip(pdf_b / jnp.maximum(pdf_a, 1e-6), 0.0, 1e6)
+    return jnp.where(pdf_a > 0, 1.0 / (1.0 + r * r), 0.0)
 
 
 def offset_ray_origin(p, ng, d):

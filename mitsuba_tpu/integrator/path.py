@@ -45,12 +45,18 @@ class PathTracer:
         seed: uint32 scalar; path_id: [N] uint32 global sample indices —
         together they key every random draw (replayable for path-replay AD).
         """
+        return self.li_stats(scene, o, d, seed, path_id)[0]
+
+    def li_stats(self, scene: SceneData, o, d, seed, path_id):
+        """Like li, but also returns the traced-ray count (intersection +
+        shadow rays over live lanes) — the wavefront analog of the
+        reference's "Normal/Shadow rays traced" counters
+        (ref: skdtree.cpp:46-47)."""
         n = o.shape[0]
-        zero3 = jnp.zeros((n, 3))
 
         def bounce_body(carry, bounce):
             (o, d, throughput, L, active, eta_scale, prev_pdf,
-             prev_delta) = carry
+             prev_delta, n_rays) = carry
 
             its = ray_intersect(scene, o, d, mint=ray_mint(o),
                                 cluster_size=self.cluster_size)
@@ -100,8 +106,7 @@ class PathTracer:
                 jnp.any(f_nee > 0, axis=-1))
             # shadow ray: [ε, dist·(1-ShadowEpsilon)] (scene.cpp:846)
             so = offset_ray_origin(its.p, its.ng, ds.d)
-            smax = jnp.where(jnp.isinf(ds.dist), 1e30,
-                             ds.dist * (1.0 - SHADOW_EPSILON))
+            smax = ds.dist * (1.0 - SHADOW_EPSILON)
             occluded = ray_test(scene, so, ds.d, ray_mint(so), smax,
                                 cluster_size=self.cluster_size)
             contributes = contributes & ~occluded
@@ -142,15 +147,24 @@ class PathTracer:
                 throughput_next)
             alive = alive & rr_continue
 
+            n_rays = (n_rays + jnp.sum(active.astype(jnp.uint32))
+                      + jnp.sum((nee_allowed & (ds.pdf > 0))
+                                .astype(jnp.uint32)))
+
             return ((o_next, jnp.where(alive[..., None], d_next, d),
                      jnp.where(alive[..., None], throughput_next, 0.0),
                      L, alive, eta_scale_next,
                      jnp.where(bs.is_delta, 1.0, bs.pdf),
-                     bs.is_delta), None)
+                     bs.is_delta, n_rays), None)
 
         n_bounces = self.max_depth if self.max_depth > 0 else 32
-        init = (o, d, jnp.ones((n, 3)), zero3, jnp.ones((n,), bool),
-                jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,), bool))
-        (o_, d_, tp, L, *_), _ = jax.lax.scan(
+        # Derive carry inits from `o` so they inherit its varying-axes
+        # status under shard_map (constants would trip the scan vma check).
+        zf = o[..., 0] * 0.0            # [N] zeros, varying like o
+        zero3 = jnp.zeros_like(o)
+        init = (o, d, zero3 + 1.0, zero3, zf < 1.0,
+                zf + 1.0, zf + 1.0, zf < 1.0,
+                (zf.sum() * 0.0).astype(jnp.uint32))
+        (o_, d_, tp, L, _a, _e, _p, _pd, n_rays), _ = jax.lax.scan(
             bounce_body, init, jnp.arange(n_bounces))
-        return L
+        return L, n_rays

@@ -82,8 +82,10 @@ def render_sharded(scene: SceneData, camera, film: Film, integrator,
             pos = jnp.where(valid[..., None], pos, -100.0)
             return film.splat(accum, pos, radiance)
 
-        accum = jax.lax.fori_loop(0, spp, sample_pass,
-                                  film.new_accumulator())
+        # init accumulator derived from px so it is 'varying' under
+        # shard_map (a constant init would trip the fori_loop vma check)
+        accum0 = film.new_accumulator() + pix_x[0] * 0.0
+        accum = jax.lax.fori_loop(0, spp, sample_pass, accum0)
         return jax.lax.psum(accum, SHARD_AXIS)
 
     accum = go(scene, px_all)
@@ -131,16 +133,16 @@ def render_grad_sharded(scene: SceneData, camera, film: Film, integrator,
                 pos_v = jnp.where(valid[..., None], pos, -100.0)
                 return film.splat(accum, pos_v, radiance)
 
-            accum = jax.lax.fori_loop(0, spp, sample_pass,
-                                      film.new_accumulator())
+            accum0 = film.new_accumulator() + pix_x[0] * 0.0
+            accum = jax.lax.fori_loop(0, spp, sample_pass, accum0)
             accum = jax.lax.psum(accum, SHARD_AXIS)
             return loss_fn(film.develop(accum))
 
         loss, grads = jax.value_and_grad(local_loss)(diff_params)
-        # loss is already psum-identical across devices; grads flow through
-        # psum in the fwd pass, so each device holds its shard's
-        # contribution — reduce them.
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, SHARD_AXIS), grads)
+        # diff_params enter with in_specs=P() (replicated): shard_map's
+        # transpose already all-reduces their cotangents across the mesh, so
+        # `grads` is the full psum'd gradient on every device — no manual
+        # psum (that would multiply by the device count).
         return loss, grads
 
     return go(diff, scene, px_all)

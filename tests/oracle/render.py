@@ -86,8 +86,9 @@ def uniform_triangle(u):
 
 
 def mis_power(pa, pb):
-    a2 = pa * pa
-    return np.where(pa > 0, a2 / np.maximum(a2 + pb * pb, 1e-30), 0.0)
+    # ratio form, mirroring integrator/common.py exactly
+    r = np.clip(pb / np.maximum(pa, 1e-6), 0.0, 1e6)
+    return np.where(pa > 0, 1.0 / (1.0 + r * r), 0.0)
 
 
 def fresnel_conductor(cos_i, eta, k):
