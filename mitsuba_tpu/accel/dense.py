@@ -146,25 +146,30 @@ def intersect_soup(o, d, woop_o, woop_d, mint, maxt, cluster_size=512,
 def fill_intersection(scene: SceneData, o, d, t, u, v, tri_id, hit
                       ) -> Intersection:
     """Gather per-triangle attributes for the chosen hits — the analog of
-    Shape::fillIntersectionRecord (ref: shape.h:307). Shading normal is
-    barycentric-interpolated; uv likewise."""
+    Shape::fillIntersectionRecord (ref: shape.h:307). All attributes come
+    from ONE row gather of the packed tri_attr table (six separate gathers
+    measured ~6× slower on TPU); shading normal/uv are barycentric-
+    interpolated."""
     w = 1.0 - u - v
     bary = jnp.stack([w, u, v], axis=-1)               # [N, 3]
     tri_id_c = jnp.where(hit, tri_id, 0)
-    vn = scene.vn[tri_id_c]                             # [N, 3, 3]
-    vuv = scene.vuv[tri_id_c]                           # [N, 3, 2]
+    attr = scene.tri_attr[tri_id_c]                     # [N, 24]
+    ng = attr[..., 0:3]
+    vn = attr[..., 3:12].reshape(attr.shape[:-1] + (3, 3))
+    vuv = attr[..., 12:18].reshape(attr.shape[:-1] + (3, 2))
     ns = jnp.sum(vn * bary[..., None], axis=-2)
     ns = ns * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(ns * ns, axis=-1, keepdims=True), 1e-20))
     uv = jnp.sum(vuv * bary[..., None], axis=-2)
-    ng = scene.ng[tri_id_c]
     t_safe = jnp.where(hit, t, 1.0)
     p = o + t_safe[..., None] * d
+    mat_id = attr[..., 18].astype(jnp.int32)
+    em_id = attr[..., 19].astype(jnp.int32)
     return Intersection(
         valid=hit, t=t, p=p, ng=ng, ns=ns, uv=uv,
         tri_id=tri_id_c,
-        mat_id=jnp.where(hit, scene.tri_mat[tri_id_c], -1),
-        em_id=jnp.where(hit, scene.tri_em[tri_id_c], -1))
+        mat_id=jnp.where(hit, mat_id, -1),
+        em_id=jnp.where(hit, em_id, -1))
 
 
 def ray_intersect(scene: SceneData, o, d, mint=None, maxt=None,

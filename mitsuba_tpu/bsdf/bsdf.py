@@ -389,20 +389,20 @@ _SAMPLERS = {
 
 
 def resolve_params(scene: S.SceneData, mat_id, uv=None):
-    """Gather material rows; texture-driven parameters are resolved here
+    """Fetch material rows with ONE gather (type/texture codes ride in
+    param slots 12-14); texture-driven parameters are resolved here
     (bitmap textures override albedo/roughness — texture/texture.py)."""
     mid = jnp.maximum(mat_id, 0)
-    mtype = scene.mat_type[mid]
     params = scene.mat_params[mid]
-    tex_slots = scene.mat_tex[mid]
+    mtype = params[..., 12].astype(jnp.int32)
     if uv is not None and scene.tex_meta.shape[0] > 1:
         from ..texture.texture import eval_texture
-        alb_tex = tex_slots[..., 0]
+        alb_tex = params[..., 13].astype(jnp.int32)
         has_tex = alb_tex >= 0
         tex_val = eval_texture(scene, jnp.maximum(alb_tex, 0), uv)
         albedo = jnp.where(has_tex[..., None], tex_val, params[..., 0:3])
         params = params.at[..., 0:3].set(albedo)
-        rough_tex = tex_slots[..., 1]
+        rough_tex = params[..., 14].astype(jnp.int32)
         has_r = rough_tex >= 0
         rough = eval_texture(scene, jnp.maximum(rough_tex, 0), uv)[..., 0]
         params = params.at[..., 9].set(
@@ -410,29 +410,38 @@ def resolve_params(scene: S.SceneData, mat_id, uv=None):
     return mtype, params
 
 
-def eval_bsdf(mtype, params, wi, wo):
+def _codes(table, families):
+    """Dispatch set: all registered families, or the static subset actually
+    present in the scene (PathTracer.families) — skipping absent families
+    removes their VPU work entirely."""
+    if families is None:
+        return list(table.items())
+    return [(c, f) for c, f in table.items() if c in families]
+
+
+def eval_bsdf(mtype, params, wi, wo, families=None):
     """f(wi,wo)·cosθo for the smooth component (zero for delta lobes)."""
     out = jnp.zeros(wi.shape[:-1] + (3,))
-    for code, fn in _SMOOTH_EVAL.items():
+    for code, fn in _codes(_SMOOTH_EVAL, families):
         out = jnp.where((mtype == code)[..., None], fn(params, wi, wo), out)
     return out
 
 
-def pdf_bsdf(mtype, params, wi, wo):
+def pdf_bsdf(mtype, params, wi, wo, families=None):
     out = jnp.zeros(wi.shape[:-1])
-    for code, fn in _SMOOTH_PDF.items():
+    for code, fn in _codes(_SMOOTH_PDF, families):
         out = jnp.where(mtype == code, fn(params, wi, wo), out)
     return out
 
 
-def sample_bsdf(mtype, params, wi, u2, u1) -> BSDFSample:
+def sample_bsdf(mtype, params, wi, u2, u1, families=None) -> BSDFSample:
     n = wi.shape[:-1]
     wo = jnp.zeros(wi.shape)
     weight = jnp.zeros(wi.shape[:-1] + (3,))
     pdf = jnp.zeros(n)
     is_delta = jnp.zeros(n, bool)
     eta = jnp.ones(n)
-    for code, fn in _SAMPLERS.items():
+    for code, fn in _codes(_SAMPLERS, families):
         w_, wt_, p_, d_, e_ = fn(params, wi, u2, u1)
         sel = mtype == code
         wo = jnp.where(sel[..., None], w_, wo)

@@ -64,12 +64,12 @@ def sample_direct(scene: S.SceneData, ref_p, u_sel, u2) -> DirectSample:
         key = em_id.astype(jnp.float32) + jnp.clip(u_re, 0.0, 1.0 - 1e-7)
         hi = jnp.searchsorted(scene.em_tri_cdfg, key, side="right")
         hi = jnp.clip(hi, 0, scene.em_tris.shape[0] - 1)
-        tri = scene.em_tris[hi]
-        # barycentric sample
+        # one packed-row gather: p0|e1|e2|ng
+        row = scene.em_tri_data[hi]
         bar = square_to_uniform_triangle(u2)
-        p_l = (scene.p0[tri] + bar[..., 0:1] * scene.e1[tri]
-               + bar[..., 1:2] * scene.e2[tri])
-        n_l = scene.ng[tri]
+        p_l = (row[..., 0:3] + bar[..., 0:1] * row[..., 3:6]
+               + bar[..., 1:2] * row[..., 6:9])
+        n_l = row[..., 9:12]
     else:
         p_l = jnp.zeros_like(ref_p)
         n_l = jnp.zeros_like(ref_p).at[..., 2].set(1.0)

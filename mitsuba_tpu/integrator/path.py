@@ -14,6 +14,7 @@ depth ≥ max_depth (path.cpp:157-166).
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -33,11 +34,46 @@ from .common import (DIM_BSDF_U1, DIM_BSDF_U2, DIM_NEE_POS, DIM_NEE_SEL,
 
 @dataclass(frozen=True)
 class PathTracer:
-    """Config mirroring MonteCarloIntegrator (ref: integrator.h:448-474)."""
+    """Config mirroring MonteCarloIntegrator (ref: integrator.h:448-474).
+
+    accel: "dense" = XLA matmul intersector (portable, differentiable-
+    friendly, CPU tests); "pallas" = fused VMEM trace kernel (TPU hot path,
+    ~10-40× faster); "auto" picks pallas on TPU backends.
+    """
     max_depth: int = 8          # vertices incl. camera; -1 (∞) not supported
     rr_depth: int = 5
     hide_emitters: bool = False
     cluster_size: int = 512
+    accel: str = "auto"
+    families: tuple | None = None   # static BSDF-family subset (dispatch)
+
+    def specialized_for(self, scene) -> "PathTracer":
+        """Restrict BSDF dispatch to the families this concrete scene uses
+        (host-side; call before jit)."""
+        import numpy as np
+        fams = tuple(sorted(int(x) for x in np.unique(
+            np.asarray(scene.mat_type))))
+        return dataclasses.replace(self, families=fams)
+
+    def _use_pallas(self):
+        if self.accel == "auto":
+            return jax.default_backend() not in ("cpu",)
+        return self.accel == "pallas"
+
+    def _intersect(self, scene, o, d, mint):
+        if self._use_pallas():
+            from ..accel.pallas_trace import pallas_intersect
+            maxt = jnp.full(o.shape[:1], 1e30)
+            return pallas_intersect(scene, o, d, mint, maxt)
+        return ray_intersect(scene, o, d, mint=mint,
+                             cluster_size=self.cluster_size)
+
+    def _occluded(self, scene, o, d, mint, maxt):
+        if self._use_pallas():
+            from ..accel.pallas_trace import pallas_occluded
+            return pallas_occluded(scene, o, d, mint, maxt)
+        return ray_test(scene, o, d, mint, maxt,
+                        cluster_size=self.cluster_size)
 
     def li(self, scene: SceneData, o, d, seed, path_id):
         """Radiance along primary rays (o, d) [N, 3].
@@ -58,8 +94,7 @@ class PathTracer:
             (o, d, throughput, L, active, eta_scale, prev_pdf,
              prev_delta, n_rays) = carry
 
-            its = ray_intersect(scene, o, d, mint=ray_mint(o),
-                                cluster_size=self.cluster_size)
+            its = self._intersect(scene, o, d, ray_mint(o))
 
             # ---- escaped rays: environment emitter ---------------------
             escaped = active & ~its.valid
@@ -101,16 +136,17 @@ class PathTracer:
                                   bounce_dim(bounce, DIM_NEE_POS))
             ds = sample_direct(scene, its.p, u_sel, u_pos)
             wo_nee = Frame.to_local(frame, ds.d)
-            f_nee = eval_bsdf(mtype, params, wi_local, wo_nee)
+            f_nee = eval_bsdf(mtype, params, wi_local, wo_nee,
+                              self.families)
             contributes = nee_allowed & (ds.pdf > 0) & (
                 jnp.any(f_nee > 0, axis=-1))
             # shadow ray: [ε, dist·(1-ShadowEpsilon)] (scene.cpp:846)
             so = offset_ray_origin(its.p, its.ng, ds.d)
             smax = ds.dist * (1.0 - SHADOW_EPSILON)
-            occluded = ray_test(scene, so, ds.d, ray_mint(so), smax,
-                                cluster_size=self.cluster_size)
+            occluded = self._occluded(scene, so, ds.d, ray_mint(so), smax)
             contributes = contributes & ~occluded
-            bsdf_pdf_nee = pdf_bsdf(mtype, params, wi_local, wo_nee)
+            bsdf_pdf_nee = pdf_bsdf(mtype, params, wi_local, wo_nee,
+                                    self.families)
             w_nee = jnp.where(ds.is_delta, 1.0,
                               mis_power(ds.pdf, bsdf_pdf_nee))
             L = L + jnp.where(contributes[..., None],
@@ -122,7 +158,8 @@ class PathTracer:
                                bounce_dim(bounce, DIM_BSDF_U2))
             u1 = rng.sample_1d(seed, path_id,
                                bounce_dim(bounce, DIM_BSDF_U1))
-            bs = sample_bsdf(mtype, params, wi_local, u2, u1)
+            bs = sample_bsdf(mtype, params, wi_local, u2, u1,
+                             self.families)
             d_next = Frame.to_world(frame, bs.wo)
             o_next = offset_ray_origin(its.p, its.ng, d_next)
             bsdf_ok = bs.pdf > 0

@@ -250,6 +250,17 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         tri_area = np.concatenate([tri_area, np.zeros(pad)])
 
     woop_o, woop_d = build_woop(p0, e1, e2)
+    from ..accel.pallas_trace import PALLAS_TC, build_woop_clustered
+    woop_clusters = build_woop_clustered(woop_o, PALLAS_TC)
+
+    # packed attribute rows: one gather fetches the whole hit record
+    n_tp = len(p0)
+    tri_attr = np.zeros((n_tp, 24), np.float32)
+    tri_attr[:, 0:3] = ng
+    tri_attr[:, 3:12] = vn.reshape(n_tp, 9)
+    tri_attr[:, 12:18] = vuv.reshape(n_tp, 6)
+    tri_attr[:, 18] = tri_mat.astype(np.float32)
+    tri_attr[:, 19] = tri_em.astype(np.float32)
 
     # Non-area emitters
     env_id = -1
@@ -290,6 +301,12 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
                    if tris_flat else np.zeros(0, np.int32))
         em_tri_cdfg = (np.concatenate(cdfg_flat).astype(np.float32)
                        if cdfg_flat else np.zeros(0, np.float32))
+        if len(em_tris):
+            em_tri_data = np.concatenate(
+                [p0[em_tris], e1[em_tris], e2[em_tris], ng[em_tris]],
+                axis=1).astype(np.float32)
+        else:
+            em_tri_data = np.zeros((1, 12), np.float32)
     else:
         em_type = np.zeros(0, np.int32)
         em_rad = np.zeros((0, 3))
@@ -299,11 +316,15 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         em_tri_offset = np.zeros(1, np.int32)
         em_tris = np.zeros(0, np.int32)
         em_tri_cdfg = np.zeros(0, np.float32)
+        em_tri_data = np.zeros((1, 12), np.float32)
 
-    # Materials
+    # Materials — type/texture codes packed into param slots 12-14 so the
+    # wavefront fetches one row per lane (bsdf.resolve_params)
     mat_type, mat_params, mat_tex = [], [], []
     for m in desc.materials:
         c, p, t = m.compile()
+        p[12] = float(c)
+        p[13], p[14] = float(t[0]), float(t[1])
         mat_type.append(c); mat_params.append(p); mat_tex.append(t)
 
     # Medium
@@ -325,6 +346,8 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         vuv=f32(vuv), tri_mat=i32(tri_mat), tri_em=i32(tri_em),
         tri_area=f32(tri_area),
         woop_o=jnp.asarray(woop_o), woop_d=jnp.asarray(woop_d),
+        woop_clusters=jnp.asarray(woop_clusters),
+        tri_attr=jnp.asarray(tri_attr),
         mat_type=i32(np.array(mat_type)),
         mat_params=f32(np.stack(mat_params)),
         mat_tex=i32(np.stack(mat_tex)),
@@ -332,6 +355,7 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         em_radiance=f32(em_rad), em_pos=f32(em_pos), em_area=f32(em_area),
         em_pmf=em_pmf, em_tri_offset=i32(em_tri_offset),
         em_tris=i32(em_tris), em_tri_cdfg=f32(em_tri_cdfg),
+        em_tri_data=f32(em_tri_data),
         tex_data=f32(np.zeros((1, 3))), tex_meta=i32(np.zeros((1, 8))),
         env_id=i32(env_id),
         med_sigma_t=f32(med_sigma_t), med_albedo=f32(med_albedo),

@@ -53,6 +53,8 @@ EM_SPOT = 5
 # phong:            [0:3] diffuse refl, [3:6] spec refl, [6] exponent
 # ward:             [0:3] diffuse refl, [3:6] spec refl, [9] alpha_u [10] alpha_v
 # rough_diffuse:    [0:3] albedo, [9] alpha
+# all:              [12] type code, [13] albedo-tex id, [14] roughness-tex id
+#                   (packed so one row gather fetches the whole material)
 N_MAT_PARAMS = 16
 
 # mat_tex[M, 2]: texture slot per textured parameter (-1 = constant)
@@ -92,6 +94,10 @@ class SceneData(NamedTuple):
     # -- Woop-packed intersection transforms (accel/dense.py) ------------
     woop_o: jnp.ndarray     # [4, 3T] origin transform (affine, homogeneous)
     woop_d: jnp.ndarray     # [3, 3T] direction transform (linear)
+    woop_clusters: jnp.ndarray  # [C, 3*TC, 4] pallas kernel layout
+    # packed per-triangle attribute rows for single-gather hit records:
+    # [T, 24] = ng(0:3) vn(3:12) vuv(12:18) mat(18) em(19) pad(20:24)
+    tri_attr: jnp.ndarray
     # -- materials -------------------------------------------------------
     mat_type: jnp.ndarray   # [M] int32
     mat_params: jnp.ndarray  # [M, N_MAT_PARAMS]
@@ -105,6 +111,7 @@ class SceneData(NamedTuple):
     em_tri_offset: jnp.ndarray  # [E+1] int32 segment offsets into em_tris
     em_tris: jnp.ndarray     # [ET] int32 global triangle ids
     em_tri_cdfg: jnp.ndarray  # [ET] "globalized" cdf: emitter_index + within-cdf
+    em_tri_data: jnp.ndarray  # [max(ET,1), 12] packed p0|e1|e2|ng rows
     # -- textures (atlas of mip pyramids; texture/texture.py) -------------
     tex_data: jnp.ndarray    # [TEXELS, 3] flattened texel pool (all mips)
     tex_meta: jnp.ndarray    # [NTEX, 8] int32: offset,w,h,n_mips,wrap,filter,...
