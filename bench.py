@@ -44,14 +44,16 @@ def main():
     pix_x = (px % WIDTH).astype(jnp.float32)
     pix_y = (px // WIDTH).astype(jnp.float32)
 
+    samp = jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(n_pix)
+
     @jax.jit
     def one_pass(scene, seed):
-        path_id = jnp.arange(n, dtype=jnp.uint32) + seed * jnp.uint32(n)
-        jitter = rng.sample_2d(seed, path_id, DIM_PIXEL)
+        s = samp + seed * jnp.uint32(SPP_PER_PASS)
+        jitter = rng.sample_2d(seed, px, DIM_PIXEL, s)
         pos = jnp.stack([pix_x + jitter[..., 0], pix_y + jitter[..., 1]],
                         axis=-1)
         o, d = camera.sample_ray(pos)
-        radiance, n_rays = integrator.li_stats(scene, o, d, seed, path_id)
+        radiance, n_rays = integrator.li_stats(scene, o, d, seed, px, s)
         return jnp.mean(radiance), n_rays
 
     # warmup / compile

@@ -46,31 +46,34 @@ def _to_float(bits: jax.Array) -> jax.Array:
     return (bits >> _U32(8)).astype(jnp.float32) * _INV_2_24
 
 
-def hash_u32(seed, idx, dim) -> jax.Array:
-    """Raw 4-lane uint32 hash for counter tuple (seed, idx, dim)."""
+def hash_u32(seed, idx, dim, samp=0) -> jax.Array:
+    """Raw 4-lane uint32 hash for counter tuple (seed, idx, dim, samp).
+
+    `samp` (the per-pixel sample index) gets its own counter word so
+    samplers can address the (pixel, sample, dimension) lattice directly;
+    legacy callers fold sample into idx and leave samp=0."""
     seed = jnp.asarray(seed, _U32)
     idx = jnp.asarray(idx, _U32)
     dim = jnp.asarray(dim, _U32)
-    seed, idx, dim = jnp.broadcast_arrays(seed, idx, dim)
-    ctr = jnp.stack(
-        [idx, dim, seed, jnp.zeros_like(idx) + _U32(0x9E3779B9)], axis=-1
-    )
+    samp = jnp.asarray(samp, _U32)
+    seed, idx, dim, samp = jnp.broadcast_arrays(seed, idx, dim, samp)
+    ctr = jnp.stack([idx, dim, seed, samp + _U32(0x9E3779B9)], axis=-1)
     return pcg4d(ctr)
 
 
-def sample_1d(seed, idx, dim) -> jax.Array:
-    """One uniform float per counter tuple. Shape = broadcast(seed, idx, dim)."""
-    return _to_float(hash_u32(seed, idx, dim)[..., 0])
+def sample_1d(seed, idx, dim, samp=0) -> jax.Array:
+    """One uniform float per counter tuple. Shape = broadcast of args."""
+    return _to_float(hash_u32(seed, idx, dim, samp)[..., 0])
 
 
-def sample_2d(seed, idx, dim) -> jax.Array:
+def sample_2d(seed, idx, dim, samp=0) -> jax.Array:
     """Two uniform floats per counter tuple; shape [..., 2]."""
-    h = hash_u32(seed, idx, dim)
+    h = hash_u32(seed, idx, dim, samp)
     return _to_float(h[..., 0:2])
 
 
-def sample_4d(seed, idx, dim) -> jax.Array:
-    h = hash_u32(seed, idx, dim)
+def sample_4d(seed, idx, dim, samp=0) -> jax.Array:
+    h = hash_u32(seed, idx, dim, samp)
     return _to_float(h)
 
 

@@ -92,14 +92,19 @@ def sample_direct(scene: S.SceneData, ref_p, u_sel, u2) -> DirectSample:
     # delta: value = intensity/dist², "pdf" bookkept as 1
     val_point = em_rad / pdist2[..., None]
 
-    # ---- constant environment -----------------------------------------
-    d_env = square_to_uniform_sphere(u2)
-    pdf_env = jnp.full((n_lanes,), INV_FOUR_PI)
+    # ---- environment: constant (uniform sphere) or envmap (2D CDF) -----
+    from .envmap import eval_env_dir, sample_env
+    d_const = square_to_uniform_sphere(u2)
+    pdf_const = jnp.full((n_lanes,), INV_FOUR_PI)
+    d_map, pdf_map, _ = sample_env(scene, u2)
 
-    # ---- select by type ------------------------------------------------
     is_area = em_type == S.EM_AREA
     is_point = em_type == S.EM_POINT
-    is_env = (em_type == S.EM_CONSTANT) | (em_type == S.EM_ENVMAP)
+    is_envmap = em_type == S.EM_ENVMAP
+    is_env = (em_type == S.EM_CONSTANT) | is_envmap
+
+    d_env = jnp.where(is_envmap[..., None], d_map, d_const)
+    pdf_env = jnp.where(is_envmap, pdf_map, pdf_const)
 
     d = jnp.where(is_area[..., None], d_area,
                   jnp.where(is_point[..., None], d_point, d_env))
@@ -111,7 +116,7 @@ def sample_direct(scene: S.SceneData, ref_p, u_sel, u2) -> DirectSample:
                        jnp.where(is_point, 1.0, pdf_env))
     # fold emitter-pick probability into the pdf (scene.cpp:846 dRec.pdf *= emPdf)
     pdf_total = pdf_sa * em_pmf_val
-    radiance = jnp.where(is_point[..., None], val_point * 0.0 + em_rad,
+    radiance = jnp.where(is_envmap[..., None], eval_env_dir(scene, d),
                          em_rad)
     # value = radiance/pdf for non-delta; intensity/(dist²·pmf) for point
     value = jnp.where(
@@ -145,23 +150,27 @@ def pdf_direct_env(scene: S.SceneData, d):
     """NEE pdf of an escaped ray's direction under the environment emitter."""
     if scene.n_emitters == 0:
         return jnp.zeros(d.shape[:-1])
+    from .envmap import pdf_env_dir
     has_env = scene.env_id >= 0
     eid = jnp.maximum(scene.env_id, 0)
     pmf = scene.em_pmf.pmf[eid]
-    return jnp.where(has_env, INV_FOUR_PI * pmf,
-                     jnp.zeros(d.shape[:-1]))
+    is_map = scene.em_type[eid] == S.EM_ENVMAP
+    pdf_dir = jnp.where(is_map, pdf_env_dir(scene, d), INV_FOUR_PI)
+    return jnp.where(has_env, pdf_dir * pmf, jnp.zeros(d.shape[:-1]))
 
 
 def eval_env(scene: S.SceneData, d):
     """Environment radiance along escaped directions (ref:
-    Scene::evalEnvironment). Constant emitter only for now; the
-    image-based envmap lives in emitter/envmap.py."""
+    Scene::evalEnvironment) — constant or image-based."""
     if scene.n_emitters == 0:
         return jnp.zeros(d.shape)
+    from .envmap import eval_env_dir
     has_env = scene.env_id >= 0
     eid = jnp.maximum(scene.env_id, 0)
-    rad = scene.em_radiance[eid]
-    return jnp.where(has_env, jnp.broadcast_to(rad, d.shape), 0.0)
+    is_map = scene.em_type[eid] == S.EM_ENVMAP
+    rad = jnp.where(is_map, eval_env_dir(scene, d),
+                    jnp.broadcast_to(scene.em_radiance[eid], d.shape))
+    return jnp.where(has_env, rad, 0.0)
 
 
 def eval_area(scene: S.SceneData, em_id, cos_surface):

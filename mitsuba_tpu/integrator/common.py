@@ -13,13 +13,15 @@ DIM_PIXEL = 0
 DIM_APERTURE = 1
 DIM_TIME = 2
 
-DIMS_PER_BOUNCE = 6
+DIMS_PER_BOUNCE = 8
 DIM_NEE_SEL = 0      # emitter pick (1D)
 DIM_NEE_POS = 1      # emitter position/direction (2D)
 DIM_BSDF_U2 = 2      # bsdf 2D sample
 DIM_BSDF_U1 = 3      # bsdf component pick (1D)
 DIM_RR = 4           # russian roulette (1D)
-DIM_PHASE = 5        # medium distance/phase sampling (2D)
+DIM_MEDIUM = 5       # medium channel + distance (2D)
+DIM_PHASE = 6        # phase direction (2D)
+# dim 7 reserved
 
 
 def bounce_dim(bounce, offset):

@@ -46,6 +46,16 @@ class PathTracer:
     cluster_size: int = 512
     accel: str = "auto"
     families: tuple | None = None   # static BSDF-family subset (dispatch)
+    sampler: str = "independent"    # sampler/sampler.py kind
+    spp: int = 0                    # strata count for stratified/ld samplers
+
+    def _d1(self, seed, pixel, samp, dim):
+        from ..sampler.sampler import draw_1d
+        return draw_1d(self.sampler, seed, pixel, samp, self.spp, dim)
+
+    def _d2(self, seed, pixel, samp, dim):
+        from ..sampler.sampler import draw_2d
+        return draw_2d(self.sampler, seed, pixel, samp, self.spp, dim)
 
     def specialized_for(self, scene) -> "PathTracer":
         """Restrict BSDF dispatch to the families this concrete scene uses
@@ -75,15 +85,17 @@ class PathTracer:
         return ray_test(scene, o, d, mint, maxt,
                         cluster_size=self.cluster_size)
 
-    def li(self, scene: SceneData, o, d, seed, path_id):
+    def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
         """Radiance along primary rays (o, d) [N, 3].
 
-        seed: uint32 scalar; path_id: [N] uint32 global sample indices —
-        together they key every random draw (replayable for path-replay AD).
+        seed: uint32 scalar; pixel_id: [N] uint32; sample_idx: scalar or
+        [N] uint32 — together they key every random draw through the
+        configured sampler (replayable for path-replay AD).
         """
-        return self.li_stats(scene, o, d, seed, path_id)[0]
+        return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
 
-    def li_stats(self, scene: SceneData, o, d, seed, path_id):
+    def li_stats(self, scene: SceneData, o, d, seed, pixel_id,
+                 sample_idx=0):
         """Like li, but also returns the traced-ray count (intersection +
         shadow rays over live lanes) — the wavefront analog of the
         reference's "Normal/Shadow rays traced" counters
@@ -130,10 +142,10 @@ class PathTracer:
             # skip when the *next* vertex would exceed max_depth
             nee_allowed = hit & (depth + 1 <= self.max_depth + 1) \
                 if self.max_depth > 0 else hit
-            u_sel = rng.sample_1d(seed, path_id,
-                                  bounce_dim(bounce, DIM_NEE_SEL))
-            u_pos = rng.sample_2d(seed, path_id,
-                                  bounce_dim(bounce, DIM_NEE_POS))
+            u_sel = self._d1(seed, pixel_id, sample_idx,
+                             bounce_dim(bounce, DIM_NEE_SEL))
+            u_pos = self._d2(seed, pixel_id, sample_idx,
+                             bounce_dim(bounce, DIM_NEE_POS))
             ds = sample_direct(scene, its.p, u_sel, u_pos)
             wo_nee = Frame.to_local(frame, ds.d)
             f_nee = eval_bsdf(mtype, params, wi_local, wo_nee,
@@ -154,10 +166,10 @@ class PathTracer:
                               * w_nee[..., None], 0.0)
 
             # ---- BSDF sampling → next ray ------------------------------
-            u2 = rng.sample_2d(seed, path_id,
-                               bounce_dim(bounce, DIM_BSDF_U2))
-            u1 = rng.sample_1d(seed, path_id,
-                               bounce_dim(bounce, DIM_BSDF_U1))
+            u2 = self._d2(seed, pixel_id, sample_idx,
+                          bounce_dim(bounce, DIM_BSDF_U2))
+            u1 = self._d1(seed, pixel_id, sample_idx,
+                          bounce_dim(bounce, DIM_BSDF_U1))
             bs = sample_bsdf(mtype, params, wi_local, u2, u1,
                              self.families)
             d_next = Frame.to_world(frame, bs.wo)
@@ -175,7 +187,8 @@ class PathTracer:
             q = jnp.minimum(
                 jnp.max(throughput_next, axis=-1) * eta_scale_next ** 2,
                 0.95)
-            u_rr = rng.sample_1d(seed, path_id, bounce_dim(bounce, DIM_RR))
+            u_rr = self._d1(seed, pixel_id, sample_idx,
+                            bounce_dim(bounce, DIM_RR))
             do_rr = depth >= self.rr_depth
             rr_continue = ~do_rr | (u_rr < q)
             throughput_next = jnp.where(

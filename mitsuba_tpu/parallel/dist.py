@@ -70,14 +70,14 @@ def render_sharded(scene: SceneData, camera, film: Film, integrator,
         valid = px < n
 
         def sample_pass(s, accum):
-            path_id = px + jnp.uint32(s) * jnp.uint32(n_pad)
-            jitter = rng.sample_2d(seed, path_id, DIM_PIXEL)
+            s = jnp.uint32(s)
+            jitter = integrator._d2(seed, px, s, DIM_PIXEL)
             pos = jnp.stack([pix_x + jitter[..., 0],
                              pix_y + jitter[..., 1]], axis=-1)
-            ap = rng.sample_2d(seed, path_id, DIM_APERTURE)
+            ap = rng.sample_2d(seed, px, DIM_APERTURE, s)
             o, d = camera.sample_ray(pos, ap)
             radiance = integrator.li(scene_rep, o, d, jnp.uint32(seed),
-                                     path_id)
+                                     px, s)
             radiance = jnp.where(valid[..., None], radiance, 0.0)
             pos = jnp.where(valid[..., None], pos, -100.0)
             return film.splat(accum, pos, radiance)
@@ -122,13 +122,13 @@ def render_grad_sharded(scene: SceneData, camera, film: Film, integrator,
             valid = px < n
 
             def sample_pass(s, accum):
-                path_id = px + jnp.uint32(s) * jnp.uint32(n_pad)
-                jitter = rng.sample_2d(seed, path_id, DIM_PIXEL)
+                s = jnp.uint32(s)
+                jitter = integrator._d2(seed, px, s, DIM_PIXEL)
                 pos = jnp.stack([pix_x + jitter[..., 0],
                                  pix_y + jitter[..., 1]], axis=-1)
                 o, d = camera.sample_ray(
-                    pos, rng.sample_2d(seed, path_id, DIM_APERTURE))
-                radiance = integrator.li(sc, o, d, jnp.uint32(seed), path_id)
+                    pos, rng.sample_2d(seed, px, DIM_APERTURE, s))
+                radiance = integrator.li(sc, o, d, jnp.uint32(seed), px, s)
                 radiance = jnp.where(valid[..., None], radiance, 0.0)
                 pos_v = jnp.where(valid[..., None], pos, -100.0)
                 return film.splat(accum, pos_v, radiance)

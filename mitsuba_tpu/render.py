@@ -36,13 +36,13 @@ def render_fn(scene: SceneData, camera, film: Film, integrator, spp: int,
     pix_y = (px // w).astype(jnp.float32)
 
     def sample_pass(s, accum):
-        path_id = px + jnp.uint32(s) * jnp.uint32(n)
-        jitter = rng.sample_2d(seed, path_id, DIM_PIXEL)
+        s = jnp.uint32(s)
+        jitter = integrator._d2(seed, px, s, DIM_PIXEL)
         pos = jnp.stack([pix_x + jitter[..., 0],
                          pix_y + jitter[..., 1]], axis=-1)
-        ap = rng.sample_2d(seed, path_id, DIM_APERTURE)
+        ap = rng.sample_2d(seed, px, DIM_APERTURE, s)
         o, d = camera.sample_ray(pos, ap)
-        radiance = integrator.li(scene, o, d, jnp.uint32(seed), path_id)
+        radiance = integrator.li(scene, o, d, jnp.uint32(seed), px, s)
         return film.splat(accum, pos, radiance)
 
     accum = jax.lax.fori_loop(0, spp, sample_pass, film.new_accumulator())

@@ -123,11 +123,23 @@ class ConstantLight:
 
 
 @dataclass
+class EnvmapLight:
+    """Image-based lat-long environment emitter (ref: src/emitters/
+    envmap.cpp). image: [H, W, 3] HDR numpy array."""
+    image: np.ndarray = None
+    scale: float = 1.0
+    sampling_weight: float = 1.0
+
+
+@dataclass
 class Medium:
-    """Single global homogeneous medium (ref: src/medium/homogeneous.cpp)."""
+    """Single global homogeneous medium (ref: src/medium/homogeneous.cpp).
+    `bound` = medium extent along any ray (vacuum beyond); stands in for
+    the reference's shape-attached medium boundaries."""
     sigma_t: Sequence[float] = (1.0, 1.0, 1.0)
     albedo: Sequence[float] = (0.5, 0.5, 0.5)
     g: float = 0.0
+    bound: float = 1e30
 
 
 @dataclass
@@ -136,12 +148,19 @@ class SceneDesc:
     shapes: list = field(default_factory=list)
     point_lights: list = field(default_factory=list)
     constant_light: Optional[ConstantLight] = None
-    envmap: Optional[object] = None        # texture/envmap.EnvmapDesc
+    envmap: Optional[EnvmapLight] = None
     medium: Optional[Medium] = None
+    textures: list = field(default_factory=list)   # numpy [H, W, 3] images
 
     def add_material(self, **kw) -> int:
         self.materials.append(Material(**kw))
         return len(self.materials) - 1
+
+    def add_texture(self, image) -> int:
+        """Register a bitmap texture; returns its id for Material
+        albedo_texture/roughness_texture slots."""
+        self.textures.append(np.asarray(image, np.float32))
+        return len(self.textures) - 1
 
     def add_shape(self, mesh, to_world=None, material=0, radiance=None,
                   sampling_weight=1.0, flip_normals=False):
@@ -279,6 +298,18 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
             "pos": np.zeros(3), "area": 0.0,
             "weight": desc.constant_light.sampling_weight})
         em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
+    env_tables = None
+    if desc.envmap is not None:
+        from ..emitter.envmap import build_env_tables
+        env_id = len(emitters)
+        emitters.append({
+            "type": S.EM_ENVMAP,
+            "radiance": np.full(3, desc.envmap.scale, np.float64),
+            "pos": np.zeros(3), "area": 0.0,
+            "weight": desc.envmap.sampling_weight})
+        em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
+        env_tables = build_env_tables(
+            np.asarray(desc.envmap.image, np.float32) * desc.envmap.scale)
 
     n_em = len(emitters)
     if n_em:
@@ -327,16 +358,22 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         p[13], p[14] = float(t[0]), float(t[1])
         mat_type.append(c); mat_params.append(p); mat_tex.append(t)
 
+    # Textures
+    from ..texture.texture import pack_textures
+    tex_data, tex_meta = pack_textures(desc.textures)
+
     # Medium
     if desc.medium is not None:
         med_sigma_t = np.asarray(desc.medium.sigma_t, np.float32)[None]
         med_albedo = np.asarray(desc.medium.albedo, np.float32)[None]
         med_g = np.array([desc.medium.g], np.float32)
+        med_bound = np.array([desc.medium.bound], np.float32)
         has_medium = np.array(True)
     else:
         med_sigma_t = np.zeros((1, 3), np.float32)
         med_albedo = np.zeros((1, 3), np.float32)
         med_g = np.zeros(1, np.float32)
+        med_bound = np.full(1, 1e30, np.float32)
         has_medium = np.array(False)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
@@ -356,8 +393,17 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         em_pmf=em_pmf, em_tri_offset=i32(em_tri_offset),
         em_tris=i32(em_tris), em_tri_cdfg=f32(em_tri_cdfg),
         em_tri_data=f32(em_tri_data),
-        tex_data=f32(np.zeros((1, 3))), tex_meta=i32(np.zeros((1, 8))),
+        tex_data=f32(tex_data), tex_meta=i32(tex_meta),
         env_id=i32(env_id),
+        env_img=f32(env_tables["env_img"] if env_tables
+                    else np.zeros((1, 1, 3))),
+        env_row_cdf=f32(env_tables["env_row_cdf"] if env_tables
+                        else np.array([0.0, 1.0])),
+        env_col_cdf=f32(env_tables["env_col_cdf"] if env_tables
+                        else np.array([[0.0, 1.0]])),
+        env_density=f32(env_tables["env_density"] if env_tables
+                        else np.ones((1, 1))),
         med_sigma_t=f32(med_sigma_t), med_albedo=f32(med_albedo),
-        med_g=f32(med_g), has_medium=jnp.asarray(has_medium),
+        med_g=f32(med_g), med_bound=f32(med_bound),
+        has_medium=jnp.asarray(has_medium),
     )

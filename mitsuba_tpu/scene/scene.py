@@ -117,10 +117,15 @@ class SceneData(NamedTuple):
     tex_meta: jnp.ndarray    # [NTEX, 8] int32: offset,w,h,n_mips,wrap,filter,...
     # -- environment -----------------------------------------------------
     env_id: jnp.ndarray      # scalar int32: emitter id of env light (-1 none)
+    env_img: jnp.ndarray     # [H, W, 3] lat-long radiance (1x1 dummy if none)
+    env_row_cdf: jnp.ndarray  # [H+1] marginal row CDF (envmap.cpp:99-106)
+    env_col_cdf: jnp.ndarray  # [H, W+1] per-row column CDFs
+    env_density: jnp.ndarray  # [H, W] pdf over the unit square
     # -- media (homogeneous; media/homogeneous.py) -----------------------
     med_sigma_t: jnp.ndarray  # [1, 3] extinction of the (single) global medium
     med_albedo: jnp.ndarray   # [1, 3] single-scattering albedo
     med_g: jnp.ndarray        # [1] HG asymmetry
+    med_bound: jnp.ndarray    # [1] medium extent along rays (vacuum beyond)
     has_medium: jnp.ndarray   # scalar bool
 
     @property

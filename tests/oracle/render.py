@@ -25,7 +25,7 @@ from . import rng
 # ---- mirrored constants ---------------------------------------------------
 SHADOW_EPS = 1e-3
 SENSOR_DIMS = 4
-DIMS_PER_BOUNCE = 6
+DIMS_PER_BOUNCE = 8   # mirrors integrator/common.py
 DIM_NEE_SEL, DIM_NEE_POS, DIM_BSDF_U2, DIM_BSDF_U1, DIM_RR = 0, 1, 2, 3, 4
 
 
@@ -382,20 +382,19 @@ def render_oracle(scene, camera, width, height, spp, seed, max_depth=8,
     img = np.zeros((height, width, 3))
 
     for s in range(spp):
-        path_id = px + np.uint32(s) * np.uint32(n)
-        jit = rng.sample_2d(seed, path_id, 0).astype(np.float64)
+        jit = rng.sample_2d(seed, px, 0, s).astype(np.float64)
         pos = np.stack([pix_x + jit[:, 0], pix_y + jit[:, 1]], -1)
         o, d = camera.sample_ray(pos.astype(np.float32))
         o = np.asarray(o, np.float64)
         d = np.asarray(d, np.float64)
-        L = _li(sc, o, d, seed, path_id, max_depth, rr_depth)
+        L = _li(sc, o, d, seed, px, s, max_depth, rr_depth)
         ix = np.clip(np.floor(pos[:, 0]).astype(int), 0, width - 1)
         iy = np.clip(np.floor(pos[:, 1]).astype(int), 0, height - 1)
         np.add.at(img, (iy, ix), L)
     return img / spp
 
 
-def _li(sc, o, d, seed, path_id, max_depth, rr_depth):
+def _li(sc, o, d, seed, pixel, samp, max_depth, rr_depth):
     n = o.shape[0]
     L = np.zeros((n, 3))
     throughput = np.ones((n, 3))
@@ -437,11 +436,11 @@ def _li(sc, o, d, seed, path_id, max_depth, rr_depth):
         sf, tf_ = coordinate_system(ng)
         wi_l = to_local(sf, tf_, ng, -d)
         # NEE
-        u_sel = rng.sample_1d(seed, path_id,
-                              bounce_dim(bounce, DIM_NEE_SEL)).astype(
+        u_sel = rng.sample_1d(seed, pixel,
+                              bounce_dim(bounce, DIM_NEE_SEL), samp).astype(
                                   np.float64)
-        u_pos = rng.sample_2d(seed, path_id,
-                              bounce_dim(bounce, DIM_NEE_POS)).astype(
+        u_pos = rng.sample_2d(seed, pixel,
+                              bounce_dim(bounce, DIM_NEE_POS), samp).astype(
                                   np.float64)
         ds_d, ds_dist, ds_pdf, ds_val, ds_delta, _ = _sample_direct(
             sc, p, u_sel, u_pos)
@@ -458,10 +457,10 @@ def _li(sc, o, d, seed, path_id, max_depth, rr_depth):
         L += np.where(contributes[..., None],
                       throughput * ds_val * f_nee * w_nee[..., None], 0.0)
         # BSDF sample
-        u2 = rng.sample_2d(seed, path_id,
-                           bounce_dim(bounce, DIM_BSDF_U2)).astype(np.float64)
-        u1 = rng.sample_1d(seed, path_id,
-                           bounce_dim(bounce, DIM_BSDF_U1)).astype(np.float64)
+        u2 = rng.sample_2d(seed, pixel,
+                           bounce_dim(bounce, DIM_BSDF_U2), samp).astype(np.float64)
+        u1 = rng.sample_1d(seed, pixel,
+                           bounce_dim(bounce, DIM_BSDF_U1), samp).astype(np.float64)
         wo, wgt, bpdf, bdelta = _sample_bsdf(sc, mat_id, wi_l, u2, u1)
         d_next = to_world(sf, tf_, ng, wo)
         o_next = _offset(p, ng, d_next)
@@ -470,8 +469,8 @@ def _li(sc, o, d, seed, path_id, max_depth, rr_depth):
             & (depth <= max_depth)
         # RR
         q = np.minimum(np.max(tp_next, -1) * eta_scale ** 2, 0.95)
-        u_rr = rng.sample_1d(seed, path_id,
-                             bounce_dim(bounce, DIM_RR)).astype(np.float64)
+        u_rr = rng.sample_1d(seed, pixel,
+                             bounce_dim(bounce, DIM_RR), samp).astype(np.float64)
         if depth >= rr_depth:
             rr_cont = u_rr < q
             tp_next = np.where(rr_cont[..., None],

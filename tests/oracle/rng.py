@@ -29,11 +29,12 @@ def pcg4d(v: np.ndarray) -> np.ndarray:
         return np.stack([x, y, z, w], axis=-1)
 
 
-def hash_u32(seed, idx, dim):
-    seed, idx, dim = np.broadcast_arrays(
-        np.asarray(seed, U32), np.asarray(idx, U32), np.asarray(dim, U32))
-    ctr = np.stack(
-        [idx, dim, seed, np.zeros_like(idx) + U32(0x9E3779B9)], axis=-1)
+def hash_u32(seed, idx, dim, samp=0):
+    seed, idx, dim, samp = np.broadcast_arrays(
+        np.asarray(seed, U32), np.asarray(idx, U32), np.asarray(dim, U32),
+        np.asarray(samp, U32))
+    with np.errstate(over="ignore"):
+        ctr = np.stack([idx, dim, seed, samp + U32(0x9E3779B9)], axis=-1)
     return pcg4d(ctr)
 
 
@@ -42,9 +43,9 @@ def _to_float(bits):
             * np.float32(1.0 / (1 << 24)))
 
 
-def sample_1d(seed, idx, dim):
-    return _to_float(hash_u32(seed, idx, dim)[..., 0])
+def sample_1d(seed, idx, dim, samp=0):
+    return _to_float(hash_u32(seed, idx, dim, samp)[..., 0])
 
 
-def sample_2d(seed, idx, dim):
-    return _to_float(hash_u32(seed, idx, dim)[..., 0:2])
+def sample_2d(seed, idx, dim, samp=0):
+    return _to_float(hash_u32(seed, idx, dim, samp)[..., 0:2])
