@@ -1,0 +1,416 @@
+"""Mitsuba-compatible XML scene loader (subset).
+
+Counterpart of the reference's SceneHandler (ref: src/librender/
+scenehandler.cpp:157-824): parses Mitsuba 0.5/0.6 scene XML into a
+SceneDesc + camera + film + integrator config. Supported:
+
+  * $key parameter substitution (CLI -D equivalent; scenehandler.cpp
+    ParameterMap) and <default name value>
+  * <integrator type="path|volpath|direct|ao|field"> with common params
+  * <sensor type="perspective|orthographic|spherical|thinlens"> +
+    <transform name="toWorld"> (lookat/translate/rotate/scale/matrix) +
+    nested <film> (width/height/rfilter) + <sampler type count>
+  * <shape type="rectangle|cube|sphere|disk|cylinder|obj|ply|serialized">
+    with inline <bsdf> or <ref id>, optional area <emitter>
+  * <bsdf> types matching builder.Material kinds (+ twosided passthrough)
+  * <emitter type="area|point|constant|envmap|directional(approx)">
+  * <texture type="checkerboard|bitmap"> for BSDF reflectance
+  * <medium type="homogeneous"> (global)
+
+Unsupported tags raise by default (strict=True) or warn and skip.
+"""
+from __future__ import annotations
+
+import os
+import warnings
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import transform as tfm
+from ..film.film import Film
+from ..sensor.sensor import (OrthographicCamera, PerspectiveCamera,
+                             SphericalCamera)
+from . import shapes
+from .builder import (ConstantLight, EnvmapLight, Material, Medium,
+                      PointLight, SceneDesc)
+
+
+@dataclass
+class LoadedScene:
+    desc: SceneDesc
+    camera: object
+    film: Film
+    integrator_config: dict
+    sampler: str = "independent"
+    spp: int = 16
+
+    def compile(self, cluster_size: int = 512):
+        from .builder import compile_scene
+        return compile_scene(self.desc, cluster_size)
+
+    def make_integrator(self):
+        from ..integrator.direct import DirectIntegrator
+        from ..integrator.misc import AmbientOcclusion, FieldIntegrator
+        from ..integrator.path import PathTracer
+        from ..integrator.volpath import VolPathTracer
+        cfg = dict(self.integrator_config)
+        kind = cfg.pop("type", "path")
+        cls = {"path": PathTracer, "volpath": VolPathTracer,
+               "volpath_simple": VolPathTracer,
+               "direct": DirectIntegrator, "ao": AmbientOcclusion,
+               "field": FieldIntegrator}[kind]
+        return cls(**cfg)
+
+
+def _subst(s: str, params: dict) -> str:
+    if "$" in s:
+        for k, v in params.items():
+            s = s.replace(f"${k}", str(v))
+    return s
+
+
+def _props(elem, params) -> dict:
+    """Collect typed child properties into a dict (Properties analog)."""
+    out = {}
+    for ch in elem:
+        name = ch.get("name", "")
+        val = _subst(ch.get("value", ""), params)
+        if ch.tag in ("float",):
+            out[name] = float(val)
+        elif ch.tag == "integer":
+            out[name] = int(val)
+        elif ch.tag == "boolean":
+            out[name] = val.lower() == "true"
+        elif ch.tag == "string":
+            out[name] = val
+        elif ch.tag in ("rgb", "srgb", "spectrum"):
+            out[name] = _parse_rgb(val)
+        elif ch.tag in ("point", "vector"):
+            if ch.get("x") is not None:
+                out[name] = [float(_subst(ch.get(a, "0"), params))
+                             for a in "xyz"]
+            else:
+                out[name] = [float(x) for x in val.replace(",", " ").split()]
+    return out
+
+
+def _parse_rgb(val: str):
+    parts = val.replace(",", " ").split()
+    if len(parts) == 1:
+        return [float(parts[0])] * 3
+    return [float(x) for x in parts[:3]]
+
+
+def _parse_transform(elem, params) -> np.ndarray:
+    m = tfm.identity()
+    for ch in elem:
+        g = lambda a, dflt="0": float(_subst(ch.get(a, dflt), params))
+        if ch.tag == "translate":
+            t = tfm.translate([g("x"), g("y"), g("z")])
+        elif ch.tag == "scale":
+            if ch.get("value") is not None:
+                s = float(_subst(ch.get("value"), params))
+                t = tfm.scale([s, s, s])
+            else:
+                t = tfm.scale([g("x", "1"), g("y", "1"), g("z", "1")])
+        elif ch.tag == "rotate":
+            t = tfm.rotate([g("x"), g("y"), g("z")],
+                           float(_subst(ch.get("angle", "0"), params)))
+        elif ch.tag in ("lookat", "lookAt"):
+            spl = lambda a: [float(x) for x in
+                             _subst(ch.get(a), params).replace(",", " ")
+                             .split()]
+            t = tfm.look_at(spl("origin"), spl("target"), spl("up"))
+        elif ch.tag == "matrix":
+            vals = [float(x) for x in
+                    _subst(ch.get("value"), params).split()]
+            t = np.array(vals, np.float64).reshape(4, 4)
+        else:
+            continue
+        m = t @ m
+    return m
+
+
+_SHAPE_BUILDERS = {
+    "rectangle": lambda p, base: shapes.rectangle(),
+    "cube": lambda p, base: shapes.cube(),
+    "sphere": lambda p, base: shapes.sphere(),
+    "disk": lambda p, base: shapes.disk(),
+    "cylinder": lambda p, base: shapes.cylinder(),
+}
+
+_BSDF_MAP = {
+    "diffuse": "diffuse", "roughdiffuse": "roughdiffuse",
+    "conductor": "conductor", "roughconductor": "roughconductor",
+    "dielectric": "dielectric", "roughdielectric": "roughdielectric",
+    "thindielectric": "thindielectric", "plastic": "plastic",
+    "roughplastic": "roughplastic", "phong": "phong", "ward": "ward",
+    "null": "null",
+}
+
+
+def load_xml(path: str, parameters: dict | None = None,
+             strict: bool = False) -> LoadedScene:
+    """Load a scene XML file. `parameters` supplies $key substitutions
+    (the CLI -D mechanism, mitsuba.cpp:58)."""
+    params = dict(parameters or {})
+    base = os.path.dirname(os.path.abspath(path))
+    tree = ET.parse(path)
+    root = tree.getroot()
+    assert root.tag == "scene", "root element must be <scene>"
+
+    desc = SceneDesc()
+    camera = None
+    film = Film()
+    integrator_config = {"type": "path"}
+    sampler_kind, spp = "independent", 16
+    named_materials: dict[str, int] = {}
+
+    def warn_or_raise(msg):
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg)
+
+    def parse_bsdf(elem) -> int:
+        btype = elem.get("type")
+        if btype == "twosided":
+            inner = elem.find("bsdf")
+            if inner is not None:
+                return parse_bsdf(inner)
+        if btype not in _BSDF_MAP:
+            warn_or_raise(f"unsupported bsdf type {btype} → diffuse")
+            btype = "diffuse"
+        p = _props(elem, params)
+        kw = {"kind": _BSDF_MAP[btype]}
+        if "reflectance" in p:
+            kw["albedo"] = p["reflectance"]
+            kw["diffuse_reflectance"] = p["reflectance"]
+        if "diffuseReflectance" in p:
+            kw["diffuse_reflectance"] = p["diffuseReflectance"]
+        if "specularReflectance" in p:
+            kw["specular_reflectance"] = p["specularReflectance"]
+        if "specularTransmittance" in p:
+            kw["specular_transmittance"] = p["specularTransmittance"]
+        if "alpha" in p:
+            kw["alpha"] = p["alpha"]
+        if "alphaU" in p:
+            kw["alpha"] = p["alphaU"]
+        if "alphaV" in p:
+            kw["alpha_v"] = p["alphaV"]
+        if "distribution" in p:
+            kw["distribution"] = p["distribution"]
+        if "intIOR" in p:
+            kw["int_ior"] = p["intIOR"]
+        if "extIOR" in p:
+            kw["ext_ior"] = p["extIOR"]
+        if "eta" in p:
+            kw["eta"] = p["eta"]
+        if "k" in p:
+            kw["k"] = p["k"]
+        if "exponent" in p:
+            kw["exponent"] = p["exponent"]
+        # texture child for reflectance
+        for tex in elem.findall("texture"):
+            timg = _parse_texture(tex)
+            if timg is not None:
+                kw["albedo_texture"] = desc.add_texture(timg)
+        mid = desc.add_material(**kw)
+        if elem.get("id"):
+            named_materials[elem.get("id")] = mid
+        return mid
+
+    def _parse_texture(tex):
+        ttype = tex.get("type")
+        p = _props(tex, params)
+        if ttype == "checkerboard":
+            from ..texture.texture import checkerboard
+            return checkerboard(color0=p.get("color0", (0.4,) * 3),
+                                color1=p.get("color1", (0.2,) * 3))
+        if ttype == "bitmap" and "filename" in p:
+            from ..io.image import read_exr, read_pfm
+            fn = os.path.join(base, p["filename"])
+            try:
+                if fn.lower().endswith(".exr"):
+                    return read_exr(fn)
+                if fn.lower().endswith(".pfm"):
+                    return read_pfm(fn)
+                from PIL import Image
+                from ..core.spectrum import from_srgb
+                img = np.asarray(Image.open(fn).convert("RGB"),
+                                 np.float32) / 255.0
+                return np.asarray(from_srgb(img))
+            except Exception as e:   # missing asset: flat gray
+                warn_or_raise(f"texture load failed: {e}")
+                return None
+        warn_or_raise(f"unsupported texture type {ttype}")
+        return None
+
+    for elem in root:
+        tag = elem.tag
+        if tag == "default":
+            params.setdefault(elem.get("name"), elem.get("value"))
+        elif tag == "integrator":
+            p = _props(elem, params)
+            integrator_config = {"type": elem.get("type", "path")}
+            if "maxDepth" in p:
+                integrator_config["max_depth"] = p["maxDepth"]
+            if "rrDepth" in p:
+                integrator_config["rr_depth"] = p["rrDepth"]
+            if "hideEmitters" in p:
+                integrator_config["hide_emitters"] = p["hideEmitters"]
+        elif tag == "sensor":
+            stype = elem.get("type", "perspective")
+            p = _props(elem, params)
+            to_world = tfm.identity()
+            tr = elem.find("transform")
+            if tr is not None:
+                to_world = _parse_transform(tr, params)
+            w, h, filt = 256, 256, "box"
+            f_el = elem.find("film")
+            if f_el is not None:
+                fp = _props(f_el, params)
+                w = int(fp.get("width", 256))
+                h = int(fp.get("height", 256))
+                rf = f_el.find("rfilter")
+                if rf is not None:
+                    filt = {"box": "box", "tent": "tent",
+                            "gaussian": "gaussian", "mitchell": "mitchell",
+                            "catmullrom": "catmullrom",
+                            "lanczos": "lanczos"}.get(
+                                rf.get("type", "box"), "box")
+            film = Film(width=w, height=h, filter_name=filt)
+            if stype in ("perspective", "thinlens"):
+                camera = PerspectiveCamera(
+                    width=w, height=h, fov_x=float(p.get("fov", 39.0)),
+                    to_world=to_world,
+                    aperture_radius=float(p.get("apertureRadius", 0.0)),
+                    focus_distance=float(p.get("focusDistance", 1.0)))
+            elif stype == "orthographic":
+                camera = OrthographicCamera(width=w, height=h,
+                                            to_world=to_world)
+            elif stype == "spherical":
+                camera = SphericalCamera(width=w, height=h,
+                                         to_world=to_world)
+            else:
+                warn_or_raise(f"unsupported sensor {stype} → perspective")
+                camera = PerspectiveCamera(width=w, height=h,
+                                           to_world=to_world)
+            s_el = elem.find("sampler")
+            if s_el is not None:
+                sampler_kind = {"independent": "independent",
+                                "stratified": "stratified",
+                                "ldsampler": "ldsampler",
+                                "halton": "halton",
+                                "hammersley": "halton",
+                                "sobol": "ldsampler"}.get(
+                                    s_el.get("type"), "independent")
+                sp = _props(s_el, params)
+                spp = int(sp.get("sampleCount", 16))
+        elif tag == "bsdf":
+            parse_bsdf(elem)
+        elif tag == "shape":
+            stype = elem.get("type")
+            p = _props(elem, params)
+            to_world = tfm.identity()
+            tr = elem.find("transform")
+            if tr is not None:
+                to_world = _parse_transform(tr, params)
+            mesh = None
+            if stype in _SHAPE_BUILDERS:
+                mesh = _SHAPE_BUILDERS[stype](p, base)
+                if stype == "sphere":
+                    c = p.get("center", [0, 0, 0])
+                    r = p.get("radius", 1.0)
+                    to_world = to_world @ tfm.translate(c) @ tfm.scale(r)
+            elif stype == "obj":
+                from ..io.obj import load_obj
+                groups, _ = load_obj(os.path.join(base, p["filename"]),
+                                     split_groups=False)
+                mesh = groups[0].mesh
+            elif stype == "ply":
+                from ..io.ply import load_ply
+                mesh = load_ply(os.path.join(base, p["filename"]))
+            elif stype == "serialized":
+                from ..io.serialized import load_serialized
+                mesh = load_serialized(os.path.join(base, p["filename"]),
+                                       int(p.get("shapeIndex", 0)))
+            else:
+                warn_or_raise(f"unsupported shape {stype}; skipped")
+                continue
+            # material: inline bsdf or <ref id>
+            mat = 0
+            b_el = elem.find("bsdf")
+            if b_el is not None:
+                mat = parse_bsdf(b_el)
+            else:
+                ref = elem.find("ref")
+                if ref is not None and ref.get("id") in named_materials:
+                    mat = named_materials[ref.get("id")]
+                elif not desc.materials:
+                    mat = desc.add_material()
+            radiance = None
+            e_el = elem.find("emitter")
+            if e_el is not None and e_el.get("type") == "area":
+                ep = _props(e_el, params)
+                radiance = ep.get("radiance", [1.0, 1.0, 1.0])
+            desc.add_shape(mesh, to_world=to_world, material=mat,
+                           radiance=radiance,
+                           flip_normals=bool(p.get("flipNormals", False)))
+        elif tag == "emitter":
+            etype = elem.get("type")
+            p = _props(elem, params)
+            if etype == "point":
+                pos = p.get("position", [0, 0, 0])
+                tr = elem.find("transform")
+                if tr is not None:
+                    pos = tfm.apply_point(_parse_transform(tr, params),
+                                          np.zeros(3))
+                desc.point_lights.append(PointLight(
+                    position=pos, intensity=p.get("intensity", [1, 1, 1])))
+            elif etype == "constant":
+                desc.constant_light = ConstantLight(
+                    radiance=p.get("radiance", [1, 1, 1]))
+            elif etype == "envmap":
+                from ..io.image import read_exr
+                img = None
+                if "filename" in p:
+                    fn = os.path.join(base, p["filename"])
+                    try:
+                        img = read_exr(fn)
+                    except Exception as e:
+                        warn_or_raise(f"envmap load failed: {e}")
+                if img is None:
+                    img = np.ones((4, 8, 3), np.float32)
+                desc.envmap = EnvmapLight(image=img,
+                                          scale=float(p.get("scale", 1.0)))
+            elif etype in ("sunsky", "sky", "sun"):
+                warn_or_raise(f"{etype} approximated as constant sky")
+                desc.constant_light = ConstantLight(radiance=(1.0, 1.2, 1.5))
+            else:
+                warn_or_raise(f"unsupported emitter {etype}; skipped")
+        elif tag == "medium":
+            if elem.get("type") == "homogeneous":
+                p = _props(elem, params)
+                sigma_s = np.array(p.get("sigmaS", [1.0, 1.0, 1.0]))
+                sigma_a = np.array(p.get("sigmaA", [0.0, 0.0, 0.0]))
+                sigma_t = sigma_s + sigma_a
+                albedo = np.where(sigma_t > 0, sigma_s / np.maximum(
+                    sigma_t, 1e-9), 0.0)
+                g = 0.0
+                ph = elem.find("phase")
+                if ph is not None and ph.get("type") == "hg":
+                    g = float(_props(ph, params).get("g", 0.0))
+                desc.medium = Medium(sigma_t=tuple(sigma_t),
+                                     albedo=tuple(albedo), g=g)
+            else:
+                warn_or_raise(f"unsupported medium {elem.get('type')}")
+        elif tag in ("alias", "include", "null"):
+            warn_or_raise(f"unsupported top-level tag <{tag}>")
+
+    if camera is None:
+        camera = PerspectiveCamera(width=film.width, height=film.height)
+    return LoadedScene(desc=desc, camera=camera, film=film,
+                       integrator_config=integrator_config,
+                       sampler=sampler_kind, spp=spp)
