@@ -157,11 +157,17 @@ def roughconductor_eval(p, wi, wo):
 
 
 def roughconductor_pdf(p, wi, wo):
+    """Half-vector pdf with the 1/(4 wo·h) Jacobian
+    (roughconductor.cpp:298-323). GGX samples the visible-normal
+    distribution (microfacet.h:67 sampleVisible default); Beckmann uses the
+    classic D·cosθ strategy (the sampleVisible=false path) so sampling and
+    pdf stay an exact pair."""
     _, _, _, au, av, dist = _rc_params(p)
     h = normalize(wi + wo)
-    # visible-normal pdf with half-vector Jacobian 1/(4 wo·h)
-    # (roughconductor.cpp:298-323)
-    pdf_h = mf.pdf_visible(wi, h, au, av, dist)
+    is_ggx = jnp.asarray(dist) == mf.GGX
+    pdf_h = jnp.where(is_ggx,
+                      mf.pdf_visible(wi, h, au, av, dist),
+                      mf.pdf_all(h, au, av, dist))
     pdf = pdf_h / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-7)
     valid = (_cos_theta(wi) > 1e-7) & (_cos_theta(wo) > 1e-7)
     return jnp.where(valid, pdf, 0.0)
@@ -169,15 +175,18 @@ def roughconductor_pdf(p, wi, wo):
 
 def roughconductor_sample(p, wi, u2, u1):
     eta, k, spec, au, av, dist = _rc_params(p)
-    m = mf.sample_visible(wi, u2, au, av, dist)
+    is_ggx = (jnp.asarray(dist) == mf.GGX)[..., None]
+    m = jnp.where(is_ggx,
+                  mf.sample_visible(wi, u2, au, av, dist),
+                  mf.sample_all(u2, au, av, dist))
     wo = 2.0 * dot(wi, m)[..., None] * m - wi
     ct_o = _cos_theta(wo)
     pdf = roughconductor_pdf(p, wi, wo)
-    # sampleVisible weight: F·spec·G1(wo) (roughconductor.cpp:405-408)
-    fr = fresnel_conductor_exact(dot(wi, m), eta, k)
-    g1o = mf.smith_g1(wo, m, au, av, dist)
-    weight = fr * spec * g1o[..., None]
-    valid = (_cos_theta(wi) > 1e-7) & (ct_o > 1e-7) & (pdf > 0)
+    # weight = f·cosθo / pdf (for GGX this reduces to the reference's
+    # F·spec·G1(wo), roughconductor.cpp:405-408)
+    f = roughconductor_eval(p, wi, wo)
+    weight = f / jnp.maximum(pdf, 1e-12)[..., None]
+    valid = (_cos_theta(wi) > 1e-7) & (ct_o > 1e-7) & (pdf > 1e-12)
     return (wo, jnp.where(valid[..., None], weight, 0.0),
             jnp.where(valid, pdf, 0.0), jnp.zeros(wi.shape[:-1], bool),
             jnp.ones(wi.shape[:-1]))

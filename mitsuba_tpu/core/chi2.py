@@ -96,11 +96,13 @@ def chi2_test(
         conv = np.abs(refined - old) <= 1e-4 * np.maximum(refined, 1e-9)
         idx = np.nonzero(active_bins)[0]
         active_bins[idx[conv]] = False
-    expected = (integ * n_valid).reshape(res_theta, res_phi)
+    # scale by ATTEMPTED samples: a rejecting sampler's pdf integrates to
+    # its acceptance probability, so expected counts use n_samples
+    expected = (integ * n_samples).reshape(res_theta, res_phi)
 
     # Account for invalid-sample mass: the pdf should integrate to the
     # acceptance probability; report total mass for diagnostics.
-    total_mass = expected.sum() / max(n_valid, 1)
+    total_mass = expected.sum() / max(n_samples, 1)
 
     # Pool cells with low expected counts (chisquare.cpp pooling)
     exp_f = expected.reshape(-1)
