@@ -193,6 +193,187 @@ def roughconductor_sample(p, wi, u2, u1):
 
 
 # ---------------------------------------------------------------------------
+# rough dielectric — microfacet refraction (ref: src/bsdfs/roughdielectric.cpp,
+# Walter et al. 2007 formulas)
+# ---------------------------------------------------------------------------
+
+def _rd_params(p):
+    return (jnp.maximum(p[..., 0], 1e-3), p[..., 1:4], p[..., 4:7],
+            p[..., 9], p[..., 10], p[..., 11].astype(jnp.int32))
+
+
+def _rd_halfvec(wi, wo, eta, reflect_side):
+    """Upper-hemisphere micronormal for a (wi, wo) pair: reflection
+    m ∝ wi + wo; transmission m ∝ -(wi + η_it·wo) (Walter 2007 eq. 16)."""
+    ci = _cos_theta(wi)
+    eta_it = jnp.where(ci > 0, eta, 1.0 / eta)
+    m_r = normalize(wi + wo)
+    m_t = normalize(wi + eta_it[..., None] * wo)
+    m = jnp.where(reflect_side[..., None], m_r, m_t)
+    return m * jnp.sign(m[..., 2:3])         # orient to +z
+
+
+def roughdielectric_eval(p, wi, wo):
+    """f·|cosθo| for reflection and transmission lobes (Walter eqs. 20/21,
+    with the radiance 1/η² transport factor as in roughdielectric.cpp)."""
+    eta, spec_r, spec_t, au, av, dist = _rd_params(p)
+    ci, co = _cos_theta(wi), _cos_theta(wo)
+    reflect_side = ci * co > 0
+    m = _rd_halfvec(wi, wo, eta, reflect_side)
+    f, _, eta_itm, eta_tim = fresnel_dielectric(dot(wi, m), eta)
+    d_ndf = mf.eval_d(m, au, av, dist)
+    g = mf.smith_g(wi, wo, m, au, av, dist)
+
+    val_r = spec_r * (f * d_ndf * g
+                      / jnp.maximum(4.0 * jnp.abs(ci), 1e-7))[..., None]
+    wim = dot(wi, m)
+    wom = dot(wo, m)
+    denom_t = (wim + eta_itm * wom) ** 2
+    # Walter's η_o² factor and the radiance solid-angle compression
+    # (1/η_it)² cancel exactly (roughdielectric.cpp eval's factor²·eta²)
+    val_t_scalar = ((1.0 - f) * d_ndf * g * jnp.abs(wim * wom)
+                    / jnp.maximum(jnp.abs(ci) * denom_t, 1e-7))
+    val_t = spec_t * val_t_scalar[..., None]
+    val = jnp.where(reflect_side[..., None], val_r, val_t)
+    # side condition (Walter 2007): wi and wo must lie on the same side of
+    # m for reflection, opposite sides for transmission — directions whose
+    # recovered m violates this are outside the lobe's image (pdf/f = 0)
+    chirality_ok = jnp.where(reflect_side, wim * wom > 0, wim * wom < 0)
+    valid = (jnp.abs(ci) > 1e-7) & chirality_ok
+    return jnp.where(valid[..., None], val, 0.0)
+
+
+def roughdielectric_pdf(p, wi, wo):
+    eta, _, _, au, av, dist = _rd_params(p)
+    ci, co = _cos_theta(wi), _cos_theta(wo)
+    reflect_side = ci * co > 0
+    m = _rd_halfvec(wi, wo, eta, reflect_side)
+    # m is already oriented to +z (the hemisphere sample_* draws from);
+    # only wi needs flipping into that hemisphere
+    side = jnp.sign(ci)[..., None]
+    is_ggx = jnp.asarray(dist) == mf.GGX
+    pdf_m = jnp.where(is_ggx,
+                      mf.pdf_visible(wi * side, m, au, av, dist),
+                      mf.pdf_all(m, au, av, dist))
+    f, _, eta_itm, _ = fresnel_dielectric(dot(wi, m), eta)
+    wim, wom = dot(wi, m), dot(wo, m)
+    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(wom), 1e-7)
+    jac_t = (jnp.abs(wom) * eta_itm ** 2
+             / jnp.maximum((wim + eta_itm * wom) ** 2, 1e-7))
+    pdf = pdf_m * jnp.where(reflect_side, f * jac_r, (1.0 - f) * jac_t)
+    chirality_ok = jnp.where(reflect_side, wim * wom > 0, wim * wom < 0)
+    return jnp.where((jnp.abs(ci) > 1e-7) & chirality_ok, pdf, 0.0)
+
+
+def roughdielectric_sample(p, wi, u2, u1):
+    eta, spec_r, spec_t, au, av, dist = _rd_params(p)
+    ci = _cos_theta(wi)
+    side = jnp.sign(ci)[..., None]
+    wi_up = wi * side
+    is_ggx = (jnp.asarray(dist) == mf.GGX)[..., None]
+    m_up = jnp.where(is_ggx, mf.sample_visible(wi_up, u2, au, av, dist),
+                     mf.sample_all(u2, au, av, dist))
+    # m_up is in the geometric upper hemisphere (matches _rd_halfvec)
+    cos_im = dot(wi, m_up)                   # signed
+    f, cos_t, eta_itm, eta_tim = fresnel_dielectric(cos_im, eta)
+    pick_reflect = u1 < f
+    wo_r = 2.0 * cos_im[..., None] * m_up - wi
+    # refraction about m_up (generalized refract_local; cos_t carries the
+    # transmitted-side sign)
+    wo_t = (-eta_tim[..., None] * wi
+            + (eta_tim * cos_im + cos_t)[..., None] * m_up)
+    wo = jnp.where(pick_reflect[..., None], wo_r, normalize(wo_t))
+    pdf = roughdielectric_pdf(p, wi, wo)
+    fval = roughdielectric_eval(p, wi, wo)
+    weight = fval / jnp.maximum(pdf, 1e-12)[..., None]
+    # reject lobe/hemisphere mismatches (roughdielectric.cpp sample():
+    # reflection must stay on wi's side, transmission must cross)
+    co = _cos_theta(wo)
+    side_ok = jnp.where(pick_reflect, ci * co > 1e-10, ci * co < -1e-10)
+    valid = (jnp.abs(ci) > 1e-7) & (pdf > 1e-12) & side_ok
+    eta_event = jnp.where(pick_reflect, 1.0, eta_itm)
+    return (wo, jnp.where(valid[..., None], weight, 0.0),
+            jnp.where(valid, pdf, 0.0), jnp.zeros(wi.shape[:-1], bool),
+            eta_event)
+
+
+# ---------------------------------------------------------------------------
+# ward — anisotropic glossy (ref: src/bsdfs/ward.cpp, balanced variant)
+# ---------------------------------------------------------------------------
+
+def ward_eval(p, wi, wo):
+    kd, ks = p[..., 0:3], p[..., 3:6]
+    au = jnp.maximum(p[..., 9], 1e-3)
+    av = jnp.maximum(p[..., 10], 1e-3)
+    ci, co = _cos_theta(wi), _cos_theta(wo)
+    h = wi + wo
+    ex = -((h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2) \
+        / jnp.maximum(h[..., 2] ** 2, 1e-12)
+    spec = (jnp.exp(ex) / (4.0 * jnp.pi * au * av
+                           * jnp.maximum(jnp.sqrt(ci * co), 1e-6)))
+    f = kd * (INV_PI * co)[..., None] + ks * (spec * co)[..., None]
+    valid = (ci > 0) & (co > 0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def _ward_spec_prob(p):
+    sd = jnp.max(p[..., 0:3], axis=-1)
+    ss = jnp.max(p[..., 3:6], axis=-1)
+    return ss / jnp.maximum(sd + ss, 1e-7)
+
+
+def ward_pdf(p, wi, wo):
+    au = jnp.maximum(p[..., 9], 1e-3)
+    av = jnp.maximum(p[..., 10], 1e-3)
+    prob_s = _ward_spec_prob(p)
+    h = normalize(wi + wo)
+    ex = -((h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2) \
+        / jnp.maximum(h[..., 2] ** 2, 1e-12)
+    pdf_h = jnp.exp(ex) / (jnp.pi * au * av
+                           * jnp.maximum(h[..., 2] ** 3, 1e-6))
+    pdf_s = pdf_h / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-6)
+    pdf_d = square_to_cosine_hemisphere_pdf(wo)
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0)
+    return jnp.where(valid, prob_s * pdf_s + (1 - prob_s) * pdf_d, 0.0)
+
+
+def ward_sample(p, wi, u2, u1):
+    au = jnp.maximum(p[..., 9], 1e-3)
+    av = jnp.maximum(p[..., 10], 1e-3)
+    prob_s = _ward_spec_prob(p)
+    pick_s = u1 < prob_s
+    # sample half-vector (ward.cpp): φh from anisotropic warp, θh from exp
+    phi = jnp.arctan2(av * jnp.sin(2 * jnp.pi * u2[..., 1]),
+                      au * jnp.cos(2 * jnp.pi * u2[..., 1]))
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    t2 = -jnp.log(jnp.maximum(u2[..., 0], 1e-7)) \
+        / ((cp / au) ** 2 + (sp / av) ** 2)
+    ct = 1.0 / jnp.sqrt(1.0 + t2)
+    st = jnp.sqrt(jnp.maximum(1 - ct * ct, 0.0))
+    h = jnp.stack([st * cp, st * sp, ct], axis=-1)
+    wo_s = 2.0 * dot(wi, h)[..., None] * h - wi
+    wo_d = square_to_cosine_hemisphere(u2)
+    wo = jnp.where(pick_s[..., None], wo_s, wo_d)
+    pdf = ward_pdf(p, wi, wo)
+    f = ward_eval(p, wi, wo)
+    w = jnp.where(pdf[..., None] > 1e-6,
+                  f / jnp.maximum(pdf, 1e-6)[..., None], 0.0)
+    return wo, w, pdf, jnp.zeros(wi.shape[:-1], bool), jnp.ones(
+        wi.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# null — pass-through (ref: src/bsdfs/null.cpp)
+# ---------------------------------------------------------------------------
+
+def null_sample(p, wi, u2, u1):
+    wo = -wi
+    ones = jnp.ones(wi.shape[:-1])
+    return (wo, jnp.ones(wi.shape[:-1] + (3,)), ones,
+            jnp.ones(wi.shape[:-1], bool), ones)
+
+
+# ---------------------------------------------------------------------------
 # smooth dielectric — delta reflect/refract (ref: src/bsdfs/dielectric.cpp)
 # ---------------------------------------------------------------------------
 
@@ -375,15 +556,19 @@ _SMOOTH_EVAL = {
     S.MAT_DIFFUSE: diffuse_eval,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_eval,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_eval,
+    S.MAT_ROUGH_DIELECTRIC: roughdielectric_eval,
     S.MAT_PLASTIC: plastic_eval,
     S.MAT_PHONG: phong_eval,
+    S.MAT_WARD: ward_eval,
 }
 _SMOOTH_PDF = {
     S.MAT_DIFFUSE: diffuse_pdf,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_pdf,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_pdf,
+    S.MAT_ROUGH_DIELECTRIC: roughdielectric_pdf,
     S.MAT_PLASTIC: plastic_pdf,
     S.MAT_PHONG: phong_pdf,
+    S.MAT_WARD: ward_pdf,
 }
 _SAMPLERS = {
     S.MAT_DIFFUSE: diffuse_sample,
@@ -391,9 +576,12 @@ _SAMPLERS = {
     S.MAT_CONDUCTOR: conductor_sample,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_sample,
     S.MAT_DIELECTRIC: dielectric_sample,
+    S.MAT_ROUGH_DIELECTRIC: roughdielectric_sample,
     S.MAT_THIN_DIELECTRIC: thindielectric_sample,
     S.MAT_PLASTIC: plastic_sample,
     S.MAT_PHONG: phong_sample,
+    S.MAT_WARD: ward_sample,
+    S.MAT_NULL: null_sample,
 }
 
 

@@ -99,35 +99,56 @@ def sample_direct(scene: S.SceneData, ref_p, u_sel, u2) -> DirectSample:
     d_map, pdf_map, _ = sample_env(scene, u2)
 
     is_area = em_type == S.EM_AREA
-    is_point = em_type == S.EM_POINT
+    is_point = (em_type == S.EM_POINT) | (em_type == S.EM_SPOT)
+    is_spot = em_type == S.EM_SPOT
+    is_directional = em_type == S.EM_DIRECTIONAL
     is_envmap = em_type == S.EM_ENVMAP
     is_env = (em_type == S.EM_CONSTANT) | is_envmap
 
     d_env = jnp.where(is_envmap[..., None], d_map, d_const)
     pdf_env = jnp.where(is_envmap, pdf_map, pdf_const)
 
+    # spot falloff (spot.cpp falloffCurve): linear in angle between the
+    # spot axis and the direction toward the receiver
+    em_aux = scene.em_aux[em_id] if scene.em_aux.shape[0] else \
+        jnp.zeros(em_id.shape + (8,))
+    spot_dir = em_aux[..., 0:3]
+    cos_cut = em_aux[..., 3]
+    cos_beam = em_aux[..., 4]
+    cos_ang = dot(spot_dir, -d_point)
+    falloff = jnp.clip((cos_ang - cos_cut)
+                       / jnp.maximum(cos_beam - cos_cut, 1e-6), 0.0, 1.0)
+    spot_scale = jnp.where(is_spot, falloff, 1.0)
+
     d = jnp.where(is_area[..., None], d_area,
-                  jnp.where(is_point[..., None], d_point, d_env))
+                  jnp.where(is_point[..., None], d_point,
+                            jnp.where(is_directional[..., None],
+                                      -em_pos, d_env)))
     # env "distance": large finite sentinel (an inf literal would make the
     # AD transpose produce inf·0 NaNs and trips jax_debug_nans)
     dist = jnp.where(is_area, dist_area,
                      jnp.where(is_point, pdist, ENV_DIST))
     pdf_sa = jnp.where(is_area, pdf_area,
-                       jnp.where(is_point, 1.0, pdf_env))
+                       jnp.where(is_point | is_directional, 1.0, pdf_env))
     # fold emitter-pick probability into the pdf (scene.cpp:846 dRec.pdf *= emPdf)
     pdf_total = pdf_sa * em_pmf_val
     radiance = jnp.where(is_envmap[..., None], eval_env_dir(scene, d),
                          em_rad)
-    # value = radiance/pdf for non-delta; intensity/(dist²·pmf) for point
+    # value = radiance/pdf for non-delta; intensity·falloff/(dist²·pmf)
+    # for point/spot; irradiance/pmf for directional
+    is_delta = is_point | is_directional
+    val_delta = jnp.where(
+        is_directional[..., None], em_rad,
+        val_point * spot_scale[..., None])
     value = jnp.where(
-        is_point[..., None],
-        val_point / jnp.maximum(em_pmf_val, 1e-12)[..., None],
+        is_delta[..., None],
+        val_delta / jnp.maximum(em_pmf_val, 1e-12)[..., None],
         safe_div(radiance, pdf_total[..., None]))
     value = jnp.where((pdf_total > 0)[..., None], value, 0.0)
     norm = jnp.where(is_area[..., None], n_l, -d)
     return DirectSample(
-        d=d, dist=dist, pdf=jnp.where(is_point, em_pmf_val, pdf_total),
-        value=value, is_delta=is_point, n=norm,
+        d=d, dist=dist, pdf=jnp.where(is_delta, em_pmf_val, pdf_total),
+        value=value, is_delta=is_delta, n=norm,
         em_id=em_id.astype(jnp.int32))
 
 

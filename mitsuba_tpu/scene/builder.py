@@ -116,6 +116,27 @@ class PointLight:
 
 
 @dataclass
+class SpotLight:
+    """Spot emitter (ref: src/emitters/spot.cpp): linear angular falloff
+    between beam_width and cutoff_angle (degrees)."""
+    position: Sequence[float]
+    direction: Sequence[float]
+    intensity: Sequence[float]
+    cutoff_angle: float = 20.0
+    beam_width: float = 15.0      # defaults: cutoff*3/4 in the reference
+    sampling_weight: float = 1.0
+
+
+@dataclass
+class DirectionalLight:
+    """Delta directional emitter (ref: src/emitters/directional.cpp).
+    direction = direction light TRAVELS; irradiance in W/m²."""
+    direction: Sequence[float]
+    irradiance: Sequence[float]
+    sampling_weight: float = 1.0
+
+
+@dataclass
 class ConstantLight:
     """Constant environment emitter (ref: src/emitters/constant.cpp)."""
     radiance: Sequence[float]
@@ -147,6 +168,8 @@ class SceneDesc:
     materials: list = field(default_factory=list)
     shapes: list = field(default_factory=list)
     point_lights: list = field(default_factory=list)
+    spot_lights: list = field(default_factory=list)
+    directional_lights: list = field(default_factory=list)
     constant_light: Optional[ConstantLight] = None
     envmap: Optional[EnvmapLight] = None
     medium: Optional[Medium] = None
@@ -290,6 +313,28 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
             "pos": np.asarray(pl.position, np.float64),
             "area": 0.0, "weight": pl.sampling_weight})
         em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
+    for sl in desc.spot_lights:
+        dirn = np.asarray(sl.direction, np.float64)
+        dirn = dirn / np.linalg.norm(dirn)
+        emitters.append({
+            "type": S.EM_SPOT,
+            "radiance": np.asarray(sl.intensity, np.float64),
+            "pos": np.asarray(sl.position, np.float64),
+            "area": 0.0, "weight": sl.sampling_weight,
+            "aux": np.concatenate([
+                dirn, [np.cos(np.radians(sl.cutoff_angle)),
+                       np.cos(np.radians(sl.beam_width))],
+                np.zeros(3)])})
+        em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
+    for dl in desc.directional_lights:
+        dirn = np.asarray(dl.direction, np.float64)
+        dirn = dirn / np.linalg.norm(dirn)
+        emitters.append({
+            "type": S.EM_DIRECTIONAL,
+            "radiance": np.asarray(dl.irradiance, np.float64),
+            "pos": dirn,
+            "area": 0.0, "weight": dl.sampling_weight})
+        em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
     if desc.constant_light is not None:
         env_id = len(emitters)
         emitters.append({
@@ -318,6 +363,7 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         em_pos = np.stack([e["pos"] for e in emitters])
         em_area = np.array([e["area"] for e in emitters])
         em_pmf = Discrete1D.build(np.array([e["weight"] for e in emitters]))
+        em_aux = np.stack([e.get("aux", np.zeros(8)) for e in emitters])
         offs = [0]
         tris_flat, cdfg_flat = [], []
         for ei, (tris, areas) in enumerate(em_tri_lists):
@@ -344,6 +390,7 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         em_pos = np.zeros((0, 3))
         em_area = np.zeros(0)
         em_pmf = Discrete1D.build(np.ones(1))
+        em_aux = np.zeros((0, 8))
         em_tri_offset = np.zeros(1, np.int32)
         em_tris = np.zeros(0, np.int32)
         em_tri_cdfg = np.zeros(0, np.float32)
@@ -392,7 +439,7 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         em_radiance=f32(em_rad), em_pos=f32(em_pos), em_area=f32(em_area),
         em_pmf=em_pmf, em_tri_offset=i32(em_tri_offset),
         em_tris=i32(em_tris), em_tri_cdfg=f32(em_tri_cdfg),
-        em_tri_data=f32(em_tri_data),
+        em_tri_data=f32(em_tri_data), em_aux=f32(em_aux),
         tex_data=f32(tex_data), tex_meta=i32(tex_meta),
         env_id=i32(env_id),
         env_img=f32(env_tables["env_img"] if env_tables

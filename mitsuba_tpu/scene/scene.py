@@ -112,6 +112,7 @@ class SceneData(NamedTuple):
     em_tris: jnp.ndarray     # [ET] int32 global triangle ids
     em_tri_cdfg: jnp.ndarray  # [ET] "globalized" cdf: emitter_index + within-cdf
     em_tri_data: jnp.ndarray  # [max(ET,1), 12] packed p0|e1|e2|ng rows
+    em_aux: jnp.ndarray      # [E, 8] per-type extras (spot: dir,cosCut,cosBeam)
     # -- textures (atlas of mip pyramids; texture/texture.py) -------------
     tex_data: jnp.ndarray    # [TEXELS, 3] flattened texel pool (all mips)
     tex_meta: jnp.ndarray    # [NTEX, 8] int32: offset,w,h,n_mips,wrap,filter,...
