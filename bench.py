@@ -35,8 +35,14 @@ MAX_DEPTH = 8
 def main():
     scene = compile_scene(cornell_box(), cluster_size=64)
     camera = cornell_camera(width=WIDTH, height=HEIGHT)
-    integrator = PathTracer(max_depth=MAX_DEPTH,
-                            cluster_size=64).specialized_for(scene)
+    # fused per-bounce megakernel (accel/megakernel.py); falls back to the
+    # XLA wavefront integrator for scenes outside its feature subset
+    try:
+        from mitsuba_tpu.integrator.mega import MegaPathTracer
+        integrator = MegaPathTracer.for_scene(scene, max_depth=MAX_DEPTH)
+    except AssertionError:
+        integrator = PathTracer(max_depth=MAX_DEPTH,
+                                cluster_size=64).specialized_for(scene)
 
     n_pix = WIDTH * HEIGHT
     n = n_pix * SPP_PER_PASS

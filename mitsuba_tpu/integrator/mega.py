@@ -1,0 +1,123 @@
+"""MegaPathTracer: the fused per-bounce megakernel integrator.
+
+Drop-in replacement for PathTracer on scenes that fit the megakernel's
+VMEM budget and feature subset (single area emitter + optional constant
+env, flat shading normals, diffuse/conductor/roughconductor, no textures,
+no medium). Construct with `MegaPathTracer.for_scene(scene, ...)` — the
+scene tables are packed host-side once and close over the jit.
+
+Estimator and RNG streams are identical to PathTracer; tests assert
+lane-level agreement.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.megakernel import (DEF_BLOCK, MegaTables, N_STATE,
+                                build_mega_tables, run_bounce)
+from ..scene.scene import EM_AREA, EM_CONSTANT, SceneData
+from .path import PathTracer
+
+
+@dataclass(frozen=True, eq=False)
+class MegaPathTracer(PathTracer):
+    """eq=False: jit caches per instance (tables are captured arrays)."""
+    tables: MegaTables | None = None
+    meta_consts: tuple = ()
+    block: int = DEF_BLOCK
+
+    @staticmethod
+    def for_scene(scene: SceneData, max_depth: int = 8, rr_depth: int = 5,
+                  block: int = DEF_BLOCK) -> "MegaPathTracer":
+        em_types = np.asarray(scene.em_type)
+        n_area = int((em_types == EM_AREA).sum())
+        n_const = int((em_types == EM_CONSTANT).sum())
+        assert n_area <= 1 and n_area + n_const == len(em_types), (
+            "megakernel supports one area emitter + optional constant env; "
+            "use PathTracer for this scene")
+        le = np.zeros(3)
+        env = np.zeros(3)
+        env_pmf = 0.0
+        em_area_tot = 1.0
+        em_pmf_area = 0.0
+        for i, t in enumerate(em_types):
+            rad = np.asarray(scene.em_radiance)[i]
+            pmf = float(np.asarray(scene.em_pmf.pmf)[i])
+            if t == EM_AREA:
+                le = rad
+                em_area_tot = float(np.asarray(scene.em_area)[i])
+                em_pmf_area = pmf
+            else:
+                env = rad
+                env_pmf = pmf
+        fams = tuple(sorted(int(x) for x in
+                            np.unique(np.asarray(scene.mat_type))))
+        consts = (float(le[0]), float(le[1]), float(le[2]),
+                  float(env[0]), float(env[1]), float(env[2]),
+                  float(env_pmf), float(em_area_tot), float(em_pmf_area),
+                  0.0, 0.0, 0.0)
+        return MegaPathTracer(
+            max_depth=max_depth, rr_depth=rr_depth, families=fams,
+            tables=build_mega_tables(scene), meta_consts=consts,
+            block=block)
+
+    def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
+        return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
+
+    def li_stats(self, scene: SceneData, o, d, seed, pixel_id,
+                 sample_idx=0):
+        n = o.shape[0]
+        n_pad = -(-n // self.block) * self.block
+        pad = n_pad - n
+
+        def prow(x, fill=0.0):
+            x = x.astype(jnp.float32)
+            if pad:
+                x = jnp.pad(x, (0, pad), constant_values=fill)
+            return x[None, :]
+
+        state = jnp.concatenate([
+            prow(o[:, 0]), prow(o[:, 1]), prow(o[:, 2]),
+            prow(d[:, 0]), prow(d[:, 1]), prow(d[:, 2], 1.0),
+            jnp.ones((3, n_pad)),                       # throughput
+            jnp.zeros((3, n_pad)),                      # L
+            prow(jnp.ones((n,))),                       # active (pad dead)
+            jnp.ones((1, n_pad)),                       # prev_pdf
+            jnp.ones((1, n_pad)),                       # prev_delta
+            jnp.ones((1, n_pad)),                       # eta_scale
+        ], axis=0)
+        pix = pixel_id.astype(jnp.int32)
+        if pad:
+            pix = jnp.pad(pix, (0, pad))
+        pix = pix[None, :]
+
+        samp = (jnp.asarray(sample_idx, jnp.uint32).astype(jnp.int32)
+                * jnp.ones((n,), jnp.int32))
+        if pad:
+            samp = jnp.pad(samp, (0, pad))
+        samp = samp[None, :]
+
+        def body(carry, bounce):
+            st, rays = carry
+            meta = jnp.stack([
+                jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+                jnp.zeros((), jnp.int32),
+                bounce.astype(jnp.int32),
+                jnp.zeros((), jnp.int32)])
+            out = run_bounce(self.tables, self.families, self.rr_depth,
+                             self.max_depth, self.meta_consts, st, pix,
+                             samp, meta, block=self.block)
+            rays = rays + (jnp.sum(out[16]) + jnp.sum(out[17])
+                           ).astype(jnp.uint32)
+            return (out[:N_STATE], rays), None
+
+        n_bounces = self.max_depth if self.max_depth > 0 else 32
+        (st, n_rays), _ = jax.lax.scan(
+            body, (state, jnp.zeros((), jnp.uint32)),
+            jnp.arange(n_bounces))
+        L = st[9:12, :n].T
+        return L, n_rays
