@@ -27,8 +27,8 @@ from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
 BASELINE_RAYS_PER_S = 1e9
 
 WIDTH = HEIGHT = 256
-SPP_PER_PASS = 4          # wavefront = W*H*SPP_PER_PASS rays
-N_TIMED_PASSES = 8
+SPP_PER_PASS = 16         # wavefront = W*H*SPP_PER_PASS rays
+N_TIMED_PASSES = 4
 MAX_DEPTH = 8
 
 
@@ -39,7 +39,8 @@ def main():
     # XLA wavefront integrator for scenes outside its feature subset
     try:
         from mitsuba_tpu.integrator.mega import MegaPathTracer
-        integrator = MegaPathTracer.for_scene(scene, max_depth=MAX_DEPTH)
+        integrator = MegaPathTracer.for_scene(scene, max_depth=MAX_DEPTH,
+                                              block=4096)
     except AssertionError:
         integrator = PathTracer(max_depth=MAX_DEPTH,
                                 cluster_size=64).specialized_for(scene)

@@ -161,6 +161,10 @@ class Medium:
     albedo: Sequence[float] = (0.5, 0.5, 0.5)
     g: float = 0.0
     bound: float = 1e30
+    # heterogeneous: density grid [Z, Y, X] scaling sigma_t, with world bbox
+    density_grid: np.ndarray = None
+    grid_min: Sequence[float] = (0.0, 0.0, 0.0)
+    grid_max: Sequence[float] = (1.0, 1.0, 1.0)
 
 
 @dataclass
@@ -410,12 +414,26 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
     tex_data, tex_meta = pack_textures(desc.textures)
 
     # Medium
+    med_grid = np.zeros((1, 1, 1), np.float32)
+    med_grid_min = np.zeros(3, np.float32)
+    med_grid_extent = np.ones(3, np.float32)
+    med_majorant = np.float32(0.0)
     if desc.medium is not None:
         med_sigma_t = np.asarray(desc.medium.sigma_t, np.float32)[None]
         med_albedo = np.asarray(desc.medium.albedo, np.float32)[None]
         med_g = np.array([desc.medium.g], np.float32)
         med_bound = np.array([desc.medium.bound], np.float32)
         has_medium = np.array(True)
+        if desc.medium.density_grid is not None:
+            g3 = np.asarray(desc.medium.density_grid, np.float32)
+            if g3.ndim == 4:
+                g3 = g3[..., 0]
+            med_grid = g3
+            med_grid_min = np.asarray(desc.medium.grid_min, np.float32)
+            med_grid_extent = (np.asarray(desc.medium.grid_max, np.float32)
+                               - med_grid_min)
+            sigma_scale = float(np.mean(desc.medium.sigma_t))
+            med_majorant = np.float32(g3.max() * sigma_scale)
     else:
         med_sigma_t = np.zeros((1, 3), np.float32)
         med_albedo = np.zeros((1, 3), np.float32)
@@ -453,4 +471,7 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         med_sigma_t=f32(med_sigma_t), med_albedo=f32(med_albedo),
         med_g=f32(med_g), med_bound=f32(med_bound),
         has_medium=jnp.asarray(has_medium),
+        med_grid=f32(med_grid), med_grid_min=f32(med_grid_min),
+        med_grid_extent=f32(med_grid_extent),
+        med_majorant=jnp.asarray(med_majorant),
     )

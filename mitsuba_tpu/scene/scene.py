@@ -128,6 +128,11 @@ class SceneData(NamedTuple):
     med_g: jnp.ndarray        # [1] HG asymmetry
     med_bound: jnp.ndarray    # [1] medium extent along rays (vacuum beyond)
     has_medium: jnp.ndarray   # scalar bool
+    # heterogeneous density grid (media/heterogeneous.py); 1³ dummy if none
+    med_grid: jnp.ndarray       # [Z, Y, X] density
+    med_grid_min: jnp.ndarray   # [3] world bbox min
+    med_grid_extent: jnp.ndarray  # [3] world bbox extent
+    med_majorant: jnp.ndarray   # scalar: max density · σ_scale
 
     @property
     def n_tris(self):
