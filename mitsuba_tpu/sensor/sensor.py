@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,39 @@ class PerspectiveCamera(_HashableByValue):
         d_world = normalize(d_local @ r.T)
         o_world = o_local @ r.T + t
         return o_world, d_world
+
+    def project(self, p_world):
+        """World point → (raster_xy [N,2], visible [N], importance W [N]).
+
+        The sensor-importance side of the reference's light-tracing support
+        (ref: PerspectiveCamera::sampleDirect / importance, sensor.h:246,
+        perspective.cpp): W = d²/(A cos³θ) with A the area of the image
+        plane at unit distance — so that splatting W·f·G-weighted particle
+        contributions reproduces radiance in the same units as eye paths.
+        """
+        tan_half, aspect, r, t = self._precompute()
+        rel = p_world - t
+        # world → camera local (r is orthonormal: inverse = transpose)
+        local = rel @ r
+        z = local[..., 2]
+        visible = z > self.near_clip
+        zs = jnp.maximum(z, 1e-6)
+        x = local[..., 0] / zs
+        y = local[..., 1] / zs
+        px = (1.0 - x / tan_half) * 0.5 * self.width
+        py = (1.0 - y / (tan_half * aspect)) * 0.5 * self.height
+        visible = visible & (px >= 0) & (px < self.width) \
+            & (py >= 0) & (py < self.height)
+        # image-plane area at unit distance
+        area = 4.0 * tan_half * (tan_half * aspect)
+        cos_theta = zs * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(local * local, axis=-1), 1e-12))
+        w = 1.0 / jnp.maximum(area * cos_theta ** 3, 1e-9)
+        return jnp.stack([px, py], axis=-1), visible, w
+
+    @property
+    def position(self):
+        return jnp.asarray(self.to_world[:3, 3], jnp.float32)
 
     @property
     def n_pixels(self):
