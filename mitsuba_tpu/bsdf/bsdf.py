@@ -491,6 +491,78 @@ def plastic_sample(p, wi, u2, u1):
 
 
 # ---------------------------------------------------------------------------
+# rough plastic — GGX coat over internally-scattering diffuse
+# (ref: src/bsdfs/roughplastic.cpp)
+# ---------------------------------------------------------------------------
+
+def _rp_parts(p):
+    eta = jnp.maximum(p[..., 0], 1e-3)
+    kd = p[..., 1:4]
+    ks = p[..., 4:7]
+    nonlinear = p[..., 7]
+    alpha = jnp.maximum(p[..., 9], 1e-4)
+    dist = p[..., 11].astype(jnp.int32)
+    return eta, kd, ks, nonlinear, alpha, dist
+
+
+def roughplastic_eval(p, wi, wo):
+    eta, kd, ks, nonlinear, a, dist = _rp_parts(p)
+    ci, co = _cos_theta(wi), _cos_theta(wo)
+    h = normalize(wi + wo)
+    fm, _, _, _ = fresnel_dielectric(dot(wi, h), eta)
+    d_ndf = mf.eval_d(h, a, a, dist)
+    g = mf.smith_g(wi, wo, h, a, a, dist)
+    spec = ks * (fm * d_ndf * g / jnp.maximum(4.0 * ci, 1e-7))[..., None]
+    fi, _, _, _ = fresnel_dielectric(ci, eta)
+    fo, _, _, _ = fresnel_dielectric(co, eta)
+    diff = _plastic_diffuse_weight(eta, kd, nonlinear)
+    diffuse = diff * (INV_PI * (1.0 - fi) * (1.0 - fo)
+                      * jnp.maximum(co, 0.0))[..., None]
+    valid = (ci > 0) & (co > 0)
+    return jnp.where(valid[..., None], spec + diffuse, 0.0)
+
+
+def _rp_spec_prob(p, wi):
+    eta, _, _, _, _, _ = _rp_parts(p)
+    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
+    # blend toward 0.5 like the reference's specularSamplingWeight clamp
+    return jnp.clip(fi, 0.25, 0.9)
+
+
+def roughplastic_pdf(p, wi, wo):
+    _, _, _, _, a, dist = _rp_parts(p)
+    prob_s = _rp_spec_prob(p, wi)
+    h = normalize(wi + wo)
+    is_ggx = jnp.asarray(dist) == mf.GGX
+    pdf_h = jnp.where(is_ggx, mf.pdf_visible(wi, h, a, a, dist),
+                      mf.pdf_all(h, a, a, dist))
+    pdf_s = pdf_h / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-7)
+    pdf_d = square_to_cosine_hemisphere_pdf(wo)
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0)
+    return jnp.where(valid, prob_s * pdf_s + (1 - prob_s) * pdf_d, 0.0)
+
+
+def roughplastic_sample(p, wi, u2, u1):
+    _, _, _, _, a, dist = _rp_parts(p)
+    prob_s = _rp_spec_prob(p, wi)
+    pick_s = u1 < prob_s
+    is_ggx = (jnp.asarray(dist) == mf.GGX)[..., None]
+    m = jnp.where(is_ggx, mf.sample_visible(wi, u2, a, a, dist),
+                  mf.sample_all(u2, a, a, dist))
+    wo_s = 2.0 * dot(wi, m)[..., None] * m - wi
+    wo_d = square_to_cosine_hemisphere(u2)
+    wo = jnp.where(pick_s[..., None], wo_s, wo_d)
+    pdf = roughplastic_pdf(p, wi, wo)
+    f = roughplastic_eval(p, wi, wo)
+    w = jnp.where(pdf[..., None] > 1e-12,
+                  f / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0) & (pdf > 1e-12)
+    return (wo, jnp.where(valid[..., None], w, 0.0),
+            jnp.where(valid, pdf, 0.0), jnp.zeros(wi.shape[:-1], bool),
+            jnp.ones(wi.shape[:-1]))
+
+
+# ---------------------------------------------------------------------------
 # phong (ref: src/bsdfs/phong.cpp) — modified Phong, diffuse+glossy mix
 # ---------------------------------------------------------------------------
 
@@ -553,6 +625,7 @@ def phong_sample(p, wi, u2, u1):
 # ---------------------------------------------------------------------------
 
 _SMOOTH_EVAL = {
+    S.MAT_ROUGH_PLASTIC: roughplastic_eval,
     S.MAT_DIFFUSE: diffuse_eval,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_eval,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_eval,
@@ -562,6 +635,7 @@ _SMOOTH_EVAL = {
     S.MAT_WARD: ward_eval,
 }
 _SMOOTH_PDF = {
+    S.MAT_ROUGH_PLASTIC: roughplastic_pdf,
     S.MAT_DIFFUSE: diffuse_pdf,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_pdf,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_pdf,
@@ -571,6 +645,7 @@ _SMOOTH_PDF = {
     S.MAT_WARD: ward_pdf,
 }
 _SAMPLERS = {
+    S.MAT_ROUGH_PLASTIC: roughplastic_sample,
     S.MAT_DIFFUSE: diffuse_sample,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_sample,
     S.MAT_CONDUCTOR: conductor_sample,
@@ -616,8 +691,22 @@ def _codes(table, families):
     return [(c, f) for c, f in table.items() if c in families]
 
 
+def _flip_z(v):
+    return v * jnp.array([1.0, 1.0, -1.0])
+
+
+def _twosided_wi(params, wi):
+    """twosided adapter (ref: src/bsdfs/twosided.cpp): materials flagged
+    two-sided (param slot 15) see back-side incidence mirrored into the
+    upper hemisphere; sampled/evaluated directions mirror back."""
+    flip = (params[..., 15] > 0.5) & (wi[..., 2] < 0.0)
+    return jnp.where(flip[..., None], _flip_z(wi), wi), flip
+
+
 def eval_bsdf(mtype, params, wi, wo, families=None):
     """f(wi,wo)·cosθo for the smooth component (zero for delta lobes)."""
+    wi, flip = _twosided_wi(params, wi)
+    wo = jnp.where(flip[..., None], _flip_z(wo), wo)
     out = jnp.zeros(wi.shape[:-1] + (3,))
     for code, fn in _codes(_SMOOTH_EVAL, families):
         out = jnp.where((mtype == code)[..., None], fn(params, wi, wo), out)
@@ -625,6 +714,8 @@ def eval_bsdf(mtype, params, wi, wo, families=None):
 
 
 def pdf_bsdf(mtype, params, wi, wo, families=None):
+    wi, flip = _twosided_wi(params, wi)
+    wo = jnp.where(flip[..., None], _flip_z(wo), wo)
     out = jnp.zeros(wi.shape[:-1])
     for code, fn in _codes(_SMOOTH_PDF, families):
         out = jnp.where(mtype == code, fn(params, wi, wo), out)
@@ -632,6 +723,7 @@ def pdf_bsdf(mtype, params, wi, wo, families=None):
 
 
 def sample_bsdf(mtype, params, wi, u2, u1, families=None) -> BSDFSample:
+    wi, flip = _twosided_wi(params, wi)
     n = wi.shape[:-1]
     wo = jnp.zeros(wi.shape)
     weight = jnp.zeros(wi.shape[:-1] + (3,))
@@ -646,4 +738,5 @@ def sample_bsdf(mtype, params, wi, u2, u1, families=None) -> BSDFSample:
         pdf = jnp.where(sel, p_, pdf)
         is_delta = jnp.where(sel, d_, is_delta)
         eta = jnp.where(sel, e_, eta)
+    wo = jnp.where(flip[..., None], _flip_z(wo), wo)
     return BSDFSample(wo, weight, pdf, is_delta, eta)

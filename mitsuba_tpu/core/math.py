@@ -16,7 +16,10 @@ SHADOW_EPSILON = 1e-3   # ref: ShadowEpsilon, scene.cpp:846 shadow-ray clipping
 DELTA_EPSILON = 1e-3    # ref: DeltaEpsilon for discrete-lobe direction tests
 RAY_EPSILON = 1e-3      # base ray offset epsilon (adaptive eps: skdtree.cpp:127)
 INF = jnp.inf
-ONE_MINUS_EPS = float(jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+import numpy as _np
+
+# numpy, not jnp: keep module import free of device-backend initialization
+ONE_MINUS_EPS = float(_np.nextafter(_np.float32(1.0), _np.float32(0.0)))
 
 
 def dot(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -138,13 +138,13 @@ def read_pfm(path: str) -> np.ndarray:
 
 
 def write_png(path: str, img: np.ndarray, gamma: bool = True):
-    """Tonemapped 8-bit PNG via PIL (ref: ldrfilm.cpp)."""
+    """Tonemapped 8-bit PNG via PIL (ref: ldrfilm.cpp). Pure numpy sRGB so
+    image tools never touch a device backend."""
     from PIL import Image
-
-    from ..core.spectrum import to_srgb
-    x = np.asarray(img, np.float32)
+    x = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
     if gamma:
-        x = np.asarray(to_srgb(np.clip(x, 0.0, 1.0)))
+        x = np.where(x <= 0.0031308, 12.92 * x,
+                     1.055 * np.power(np.maximum(x, 1e-8), 1 / 2.4) - 0.055)
     x = (np.clip(x, 0, 1) * 255 + 0.5).astype(np.uint8)
     Image.fromarray(x).save(path)
 

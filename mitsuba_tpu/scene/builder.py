@@ -46,6 +46,7 @@ class Material:
     nonlinear: bool = False                           # plastic
     albedo_texture: int = -1                          # texture slot id
     roughness_texture: int = -1
+    two_sided: bool = False                           # twosided adapter
 
     _KINDS = {
         "diffuse": S.MAT_DIFFUSE, "conductor": S.MAT_CONDUCTOR,
@@ -93,6 +94,10 @@ class Material:
             p[9], p[10] = self.alpha, av
         tex = np.array([self.albedo_texture, self.roughness_texture],
                        np.int32)
+        # dispatch metadata packed into the row (scene.py layout)
+        p[12] = float(code)
+        p[13], p[14] = float(tex[0]), float(tex[1])
+        p[15] = float(self.two_sided)
         return code, p, tex
 
 
@@ -405,8 +410,6 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
     mat_type, mat_params, mat_tex = [], [], []
     for m in desc.materials:
         c, p, t = m.compile()
-        p[12] = float(c)
-        p[13], p[14] = float(t[0]), float(t[1])
         mat_type.append(c); mat_params.append(p); mat_tex.append(t)
 
     # Textures

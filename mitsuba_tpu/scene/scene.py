@@ -54,6 +54,7 @@ EM_SPOT = 5
 # ward:             [0:3] diffuse refl, [3:6] spec refl, [9] alpha_u [10] alpha_v
 # rough_diffuse:    [0:3] albedo, [9] alpha
 # all:              [12] type code, [13] albedo-tex id, [14] roughness-tex id
+#                   [15] two-sided flag
 #                   (packed so one row gather fetches the whole material)
 N_MAT_PARAMS = 16
 

@@ -22,6 +22,7 @@ CONFIGS = [
                                      distribution="beckmann"), 0.7),
     ("plastic", dict(kind="plastic"), 0.6),
     ("phong", dict(kind="phong", exponent=20.0), 0.7),
+    ("roughplastic", dict(kind="roughplastic", alpha=0.3), 0.6),
 ]
 
 
