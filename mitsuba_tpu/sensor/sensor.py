@@ -157,6 +157,53 @@ class OrthographicCamera(_HashableByValue):
 
 
 @dataclass(frozen=True, eq=False)
+class RadianceMeter(_HashableByValue):
+    """Single-ray radiance probe (ref: src/sensors/radiancemeter.cpp):
+    measures incident radiance along to_world's +z axis from its origin.
+    Renders as a 1×1 film."""
+    width: int = 1
+    height: int = 1
+    to_world: np.ndarray = field(default_factory=tf.identity)
+
+    def sample_ray(self, pixel_xy, aperture_uv=None):
+        r = jnp.asarray(self.to_world[:3, :3], jnp.float32)
+        t = jnp.asarray(self.to_world[:3, 3], jnp.float32)
+        n = pixel_xy.shape[0]
+        o = jnp.broadcast_to(t, (n, 3))
+        d = jnp.broadcast_to(normalize(r[:, 2]), (n, 3))
+        return o, d
+
+    @property
+    def n_pixels(self):
+        return 1
+
+
+@dataclass(frozen=True, eq=False)
+class IrradianceMeter(_HashableByValue):
+    """Hemispherical irradiance probe (ref: src/sensors/
+    irradiancemeter.cpp): cosine-weighted rays over the +z hemisphere of
+    to_world; the 1×1 film average times π estimates irradiance E."""
+    width: int = 1
+    height: int = 1
+    to_world: np.ndarray = field(default_factory=tf.identity)
+
+    def sample_ray(self, pixel_xy, aperture_uv=None):
+        from ..core.warp import square_to_cosine_hemisphere
+        r = jnp.asarray(self.to_world[:3, :3], jnp.float32)
+        t = jnp.asarray(self.to_world[:3, 3], jnp.float32)
+        n = pixel_xy.shape[0]
+        u = aperture_uv if aperture_uv is not None else \
+            jnp.zeros((n, 2)) + 0.5
+        d_local = square_to_cosine_hemisphere(u)
+        o = jnp.broadcast_to(t, (n, 3))
+        return o, normalize(d_local @ r.T)
+
+    @property
+    def n_pixels(self):
+        return 1
+
+
+@dataclass(frozen=True, eq=False)
 class SphericalCamera(_HashableByValue):
     """Lat-long 360° sensor (ref: src/sensors/spherical.cpp)."""
     width: int = 512

@@ -38,21 +38,27 @@ def test_sharded_matches_single_device(setup):
 
 
 def test_sharded_grad_step(setup):
-    """Full distributed differentiable step returns finite psum'd grads,
-    identical across device counts."""
+    """Distributed differentiable step: the 8-device psum'd gradients must
+    equal plain single-device jax.grad through the same estimator."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.render import render_fn
     scene, cam, film, integ = setup
     mesh8 = make_mesh(jax.devices()[:8])
-    mesh1 = make_mesh(jax.devices()[:1])
     loss8, grads8 = render_grad_sharded(
         replicate_scene(scene, mesh8), cam, film, integ, spp=1, seed=0,
         mesh=mesh8)
-    loss1, grads1 = render_grad_sharded(
-        replicate_scene(scene, mesh1), cam, film, integ, spp=1, seed=0,
-        mesh=mesh1)
+
+    def plain_loss(mat, em):
+        sc = scene._replace(mat_params=mat, em_radiance=em)
+        return jnp.mean(render_fn(sc, cam, film, integ, 1, 0))
+
+    loss_p, (g_mat, g_em) = jax.jit(jax.value_and_grad(
+        plain_loss, argnums=(0, 1)))(scene.mat_params, scene.em_radiance)
     assert np.isfinite(float(loss8))
-    assert np.allclose(float(loss8), float(loss1), rtol=1e-5)
-    for k in grads8:
-        g8, g1 = np.asarray(grads8[k]), np.asarray(grads1[k])
+    assert np.allclose(float(loss8), float(loss_p), rtol=1e-5)
+    for k, ref in [("mat_params", g_mat), ("em_radiance", g_em)]:
+        g8 = np.asarray(grads8[k])
         assert np.all(np.isfinite(g8)), k
-        assert np.allclose(g8, g1, rtol=1e-3, atol=1e-6), (
-            k, np.abs(g8 - g1).max())
+        assert np.allclose(g8, np.asarray(ref), rtol=1e-3,
+                           atol=1e-6), (k, np.abs(g8 - ref).max())

@@ -18,8 +18,8 @@ from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
 @pytest.fixture(scope="module")
 def setup():
     scene = compile_scene(cornell_box(), cluster_size=128)
-    cam = cornell_camera(width=24, height=24)
-    film = Film(width=24, height=24, filter_name="box")
+    cam = cornell_camera(width=16, height=16)
+    film = Film(width=16, height=16, filter_name="box")
     integ = PathTracer(max_depth=3, cluster_size=128)
     return scene, cam, film, integ
 
