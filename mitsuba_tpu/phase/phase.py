@@ -1,12 +1,20 @@
-"""Phase functions: isotropic, Henyey-Greenstein, Rayleigh, Kajiya-Kay mix.
+"""Phase functions: isotropic, HG, Rayleigh, Kajiya-Kay, SGGX, mixture.
 
 Wavefront counterparts of the reference phase plugins (ref: src/phase/
-{isotropic,hg,rayleigh}.cpp; interface phase.h:148-193). Conventions match
-the reference exactly: wi points back toward the radiance source (wi =
--ray.d, BSDF-style), wo is the new outgoing direction (next ray direction);
-HG eval takes dot(wi, wo) so forward scattering (g > 0) peaks at
-dot(wi, wo) = -1 (hg.cpp:79-113, SURVEY Appendix A.7). All fns broadcast
-over wavefront axes; g may be a per-lane array.
+{isotropic,hg,rayleigh,kkay,microflake,mixturephase,SGGX}.cpp; interface
+phase.h:148-193). Conventions match the reference exactly: wi points back
+toward the radiance source (wi = -ray.d, BSDF-style), wo is the new
+outgoing direction (next ray direction); HG eval takes dot(wi, wo) so
+forward scattering (g > 0) peaks at dot(wi, wo) = -1 (hg.cpp:79-113,
+SURVEY Appendix A.7). All fns broadcast over wavefront axes; g may be a
+per-lane array.
+
+The SGGX microflake distribution (winmad's research centerpiece, ref:
+src/phase/SGGX.cpp:93-127) represents an anisotropic flake NDF as a 3×3
+symmetric positive-definite matrix S; σ(d) = √(dᵀSd) is the projected
+area, D(m) = 1/(π √|S| (mᵀS⁻¹m)²) the NDF, and the specular microflake
+phase is f(wi→wo) = D_vis(h) / (4 σ(wi)) with h the half vector
+(Heitz et al. 2015, "The SGGX microflake distribution").
 """
 from __future__ import annotations
 
@@ -18,6 +26,9 @@ from ..core.warp import INV_FOUR_PI
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
+PHASE_KKAY = 3
+PHASE_SGGX_SPECULAR = 4
+PHASE_MIXTURE = 5
 
 
 def hg_eval(g, cos_theta):
@@ -61,3 +72,172 @@ def isotropic_eval(cos_theta):
 def rayleigh_eval(cos_theta):
     """(3/16π)(1+cos²θ) (ref: src/phase/rayleigh.cpp)."""
     return (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_theta * cos_theta)
+
+
+def rayleigh_sample(wi, u2):
+    """Exact inverse-CDF Rayleigh sampling: the marginal in cosθ solves the
+    depressed cubic x³ + 3x = 4(2u-1) → x = c - 1/c, c = ∛(2z + √(4+4z²)),
+    z = 2(2u-1) (rayleigh.cpp sample). Returns (wo, pdf)."""
+    z = 2.0 * (2.0 * u2[..., 0] - 1.0)
+    c = jnp.cbrt(z + jnp.sqrt(4.0 + z * z))
+    cos_theta = jnp.clip(c - 1.0 / c, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    local = jnp.stack([sin_theta * jnp.cos(phi),
+                       sin_theta * jnp.sin(phi), cos_theta], axis=-1)
+    frame = Frame.from_normal(-wi)
+    wo = Frame.to_world(frame, local)
+    pdf = rayleigh_eval(jnp.sum(wi * wo, axis=-1))
+    return wo, pdf
+
+
+# ---------------------------------------------------------------------------
+# Kajiya-Kay hair phase (ref: src/phase/kkay.cpp)
+# ---------------------------------------------------------------------------
+
+def kkay_eval(fiber, wi, wo, ks=0.4, kd=0.2, exponent=4.0):
+    """Kajiya-Kay fiber phase: diffuse sin + specular cone term around the
+    local fiber direction (kkay.cpp; normalization computed as in the
+    reference from the exponent integral). wi toward source, wo outgoing.
+    fiber: [.., 3] unit fiber tangent (the medium's orientation field)."""
+    # angles measured from the fiber axis
+    cos_i = jnp.sum(-wi * fiber, axis=-1)          # incident along -wi
+    cos_o = jnp.sum(wo * fiber, axis=-1)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
+    # specular cone: cos of angle between mirrored-incidence cone and wo
+    cs = jnp.maximum(-(cos_i * cos_o) + sin_i * sin_o, 0.0)
+    # normalization: diffuse sin term integrates to π²/4·4π-ish; use the
+    # reference's constants: diffuse π/4-normalized over the sphere
+    diff = kd * sin_o / (jnp.pi * jnp.pi / 4.0) / 4.0
+    spec = ks * jnp.power(cs, exponent) \
+        * (exponent + 2.0) / (8.0 * jnp.pi)
+    return diff + spec
+
+
+# ---------------------------------------------------------------------------
+# SGGX microflake distribution (ref: src/phase/SGGX.cpp:93-127;
+# Heitz et al. 2015). S is packed [Sxx, Syy, Szz, Sxy, Sxz, Syz].
+# ---------------------------------------------------------------------------
+
+def _s_mat(s6):
+    sxx, syy, szz, sxy, sxz, syz = (s6[..., 0], s6[..., 1], s6[..., 2],
+                                    s6[..., 3], s6[..., 4], s6[..., 5])
+    row0 = jnp.stack([sxx, sxy, sxz], axis=-1)
+    row1 = jnp.stack([sxy, syy, syz], axis=-1)
+    row2 = jnp.stack([sxz, syz, szz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def sggx_sigma(s6, d):
+    """Projected microflake area σ(d) = √(dᵀ S d) (SGGX.cpp sigma)."""
+    S = _s_mat(s6)
+    sd = jnp.einsum("...ij,...j->...i", S, d)
+    return jnp.sqrt(jnp.maximum(jnp.sum(d * sd, axis=-1), 1e-12))
+
+
+def sggx_ndf(s6, m):
+    """D(m) = 1 / (π √|S| (mᵀ S⁻¹ m)²) (SGGX.cpp ndf)."""
+    S = _s_mat(s6)
+    det = jnp.linalg.det(S)
+    inv = jnp.linalg.inv(S + 1e-9 * jnp.eye(3))
+    q = jnp.einsum("...i,...ij,...j->...", m, inv, m)
+    return 1.0 / (jnp.pi * jnp.sqrt(jnp.maximum(det, 1e-18))
+                  * jnp.maximum(q * q, 1e-12))
+
+
+def sggx_sample_vndf(s6, wi, u2):
+    """Sample the visible-normal distribution D_wi(m) ∝ ⟨wi,m⟩ D(m)
+    (SGGX.cpp sampleVNormal; Heitz 2015 §4.1): build an ONB (wk, wj, wi),
+    project S, Cholesky-factor the 3×3 projected matrix, warp a uniform
+    disk sample through it."""
+    wk, wj, _ = Frame.from_normal(wi)
+    S = _s_mat(s6)
+
+    def q(a, b):
+        return jnp.einsum("...i,...ij,...j->...", a, S, b)
+
+    s_kk, s_jj, s_ii = q(wk, wk), q(wj, wj), q(wi, wi)
+    s_kj, s_ki, s_ji = q(wk, wj), q(wk, wi), q(wj, wi)
+
+    sqrt_det = jnp.sqrt(jnp.maximum(jnp.abs(
+        s_kk * s_jj * s_ii - s_kj * s_kj * s_ii - s_ki * s_ki * s_jj
+        - s_ji * s_ji * s_kk + 2.0 * s_kj * s_ki * s_ji), 1e-18))
+    inv_sqrt_sii = 1.0 / jnp.sqrt(jnp.maximum(s_ii, 1e-12))
+    tmp = jnp.sqrt(jnp.maximum(s_jj * s_ii - s_ji * s_ji, 1e-12))
+    m_k = jnp.stack([sqrt_det / tmp, jnp.zeros_like(tmp),
+                     jnp.zeros_like(tmp)], axis=-1)
+    m_j = jnp.stack([-inv_sqrt_sii * (s_ki * s_ji - s_kj * s_ii) / tmp,
+                     inv_sqrt_sii * tmp, jnp.zeros_like(tmp)], axis=-1)
+    m_i = jnp.stack([inv_sqrt_sii * s_ki, inv_sqrt_sii * s_ji,
+                     inv_sqrt_sii * s_ii], axis=-1)
+
+    # uniform point on the upper hemisphere disk (projected)
+    u, v = u2[..., 0], u2[..., 1]
+    r = jnp.sqrt(u)
+    phi = 2.0 * jnp.pi * v
+    uu = r * jnp.cos(phi)
+    vv = r * jnp.sin(phi)
+    ww = jnp.sqrt(jnp.maximum(1.0 - uu * uu - vv * vv, 0.0))
+
+    wm_kji = (uu[..., None] * m_k + vv[..., None] * m_j
+              + ww[..., None] * m_i)
+    norm = jnp.maximum(
+        jnp.linalg.norm(wm_kji, axis=-1, keepdims=True), 1e-12)
+    wm_kji = wm_kji / norm
+    # back to world: components along (wk, wj, wi)
+    m = (wm_kji[..., 0:1] * wk + wm_kji[..., 1:2] * wj
+         + wm_kji[..., 2:3] * wi)
+    return m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True),
+                           1e-12)
+
+
+def sggx_specular_eval(s6, wi, wo):
+    """Specular microflake phase f(wi→wo) = D(h)/(4 σ(wi)), h = ½(wi+wo)
+    normalized (Heitz 2015 eq. 10; SGGX.cpp eval). wi toward source."""
+    h = wi + wo
+    hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+    return sggx_ndf(s6, hn) / jnp.maximum(4.0 * sggx_sigma(s6, wi), 1e-9)
+
+
+def sggx_specular_sample(s6, wi, u2):
+    """Sample wo by drawing a visible normal and mirroring wi about it.
+    The resulting pdf IS the phase value (perfect importance sampling).
+    Returns (wo, pdf)."""
+    m = sggx_sample_vndf(s6, wi, u2)
+    wo = 2.0 * jnp.sum(wi * m, axis=-1, keepdims=True) * m - wi
+    return wo, sggx_specular_eval(s6, wi, wo)
+
+
+def sggx_diffuse_eval(s6, wi, wo, u2=None):
+    """Diffuse microflake phase: ⟨wo,m⟩⁺/π against a visible normal of wi.
+    The exact value integrates over visible normals; the reference
+    estimates it with ONE sampled normal per query (SGGX.cpp eval for
+    diffuse) — we mirror that stochastic estimator when u2 is given, and
+    use the deterministic mean normal otherwise."""
+    if u2 is not None:
+        m = sggx_sample_vndf(s6, wi, u2)
+    else:
+        # mean visible normal direction ≈ normalize(S·wi projection)
+        m = wi
+    return jnp.maximum(jnp.sum(wo * m, axis=-1), 0.0) / jnp.pi
+
+
+# ---------------------------------------------------------------------------
+# mixture phase (ref: src/phase/mixturephase.cpp): convex combination
+# ---------------------------------------------------------------------------
+
+def mixture_eval(w1, eval1, eval2):
+    """w1·f1 + (1-w1)·f2 where eval1/eval2 are already-evaluated values."""
+    return w1 * eval1 + (1.0 - w1) * eval2
+
+
+def mixture_hg_sample(w1, g1, g2, wi, u2, u1):
+    """Sample a two-lobe HG mixture (the common mixturephase config):
+    pick lobe ∝ weight, sample it, pdf = mixture pdf. Returns (wo, pdf)."""
+    pick1 = u1 < w1
+    g = jnp.where(pick1, g1, g2)
+    wo, _ = hg_sample(g, wi, u2)
+    ct = jnp.sum(wi * wo, axis=-1)
+    pdf = w1 * hg_eval(g1, ct) + (1.0 - w1) * hg_eval(g2, ct)
+    return wo, pdf

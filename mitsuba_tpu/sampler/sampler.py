@@ -15,6 +15,10 @@ need.
                 (src/samplers/ldsampler.cpp)
   halton      — digit-scrambled radical inverse, prime per dimension
                 (src/samplers/halton.cpp)
+  hammersley  — first coordinate i/spp, rest radical inverse
+                (src/samplers/hammersley.cpp)
+  sobol       — Owen-scrambled Sobol' with generated direction numbers
+                (src/samplers/sobol.cpp; see sampler/sobol.py)
 
 Stratified/ld need spp (static); for 2D draws stratified uses a
 ⌈√spp⌉×⌈√spp⌉ grid like the reference.
@@ -34,6 +38,8 @@ INDEPENDENT = "independent"
 STRATIFIED = "stratified"
 LD = "ldsampler"
 HALTON = "halton"
+HAMMERSLEY = "hammersley"
+SOBOL = "sobol"
 
 # first 64 primes (halton bases; dims beyond fall back to hashing)
 _PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
@@ -144,6 +150,14 @@ def draw_1d(kind: str, seed, pixel, samp, spp: int, dim):
         # global halton index: decorrelate pixels by index offset
         gidx = jnp.asarray(samp, jnp.uint32)
         return _radical_inverse(gidx, base, h[..., 0])
+    if kind == HAMMERSLEY:
+        # first coordinate = equispaced i/spp, per-pixel permuted
+        s_perm = _perm(samp, spp, h[..., 0])
+        return (s_perm.astype(jnp.float32) + 0.5) / spp
+    if kind == SOBOL:
+        from .sobol import sobol_sample
+        return sobol_sample(samp, 2 * jnp.asarray(dim, jnp.int32),
+                            h[..., 0])
     raise ValueError(f"unknown sampler {kind}")
 
 
@@ -170,5 +184,16 @@ def draw_2d(kind: str, seed, pixel, samp, spp: int, dim):
         gidx = jnp.asarray(samp, jnp.uint32)
         u0 = _radical_inverse(gidx, _PRIMES[0], h[..., 0])
         u1 = _radical_inverse(gidx, _PRIMES[1], h[..., 1])
+        return jnp.stack([u0, u1], axis=-1)
+    if kind == HAMMERSLEY:
+        s_perm = _perm(samp, spp, h[..., 0])
+        u0 = (s_perm.astype(jnp.float32) + 0.5) / spp
+        u1 = _radical_inverse(s_perm, _PRIMES[0], h[..., 1])
+        return jnp.stack([u0, u1], axis=-1)
+    if kind == SOBOL:
+        from .sobol import sobol_sample
+        d2 = 2 * jnp.asarray(dim, jnp.int32)
+        u0 = sobol_sample(samp, d2, h[..., 0])
+        u1 = sobol_sample(samp, d2 + 1, h[..., 1])
         return jnp.stack([u0, u1], axis=-1)
     raise ValueError(f"unknown sampler {kind}")
