@@ -138,7 +138,7 @@ def build_mega_tables(scene: SceneData, tc: int = 64) -> MegaTables:
 
     mat = np.asarray(scene.mat_params)
     m_pad = max(8, -(-mat.shape[0] // 8) * 8)
-    mat_p = np.zeros((16, m_pad), np.float32)
+    mat_p = np.zeros((mat.shape[1], m_pad), np.float32)
     mat_p[:, : mat.shape[0]] = mat.T
 
     # emissive-triangle rows + per-row emitter metadata

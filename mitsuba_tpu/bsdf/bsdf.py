@@ -621,10 +621,42 @@ def phong_sample(p, wi, u2, u1):
 
 
 # ---------------------------------------------------------------------------
+# difftrans — diffuse transmitter (ref: src/bsdfs/difftrans.cpp)
+# ---------------------------------------------------------------------------
+
+def difftrans_eval(p, wi, wo):
+    tr = p[..., 0:3]
+    f = tr * INV_PI * jnp.abs(_cos_theta(wo))[..., None]
+    valid = _cos_theta(wi) * _cos_theta(wo) < 0      # opposite hemispheres
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def difftrans_pdf(p, wi, wo):
+    valid = _cos_theta(wi) * _cos_theta(wo) < 0
+    return jnp.where(valid,
+                     jnp.abs(_cos_theta(wo)) * INV_PI, 0.0)
+
+
+def difftrans_sample(p, wi, u2, u1):
+    wo_up = square_to_cosine_hemisphere(u2)
+    # transmit: flip to the side opposite wi
+    sgn = jnp.sign(_cos_theta(wi))[..., None]
+    wo = wo_up * jnp.concatenate(
+        [jnp.ones_like(sgn), jnp.ones_like(sgn), -sgn], axis=-1)
+    pdf = jnp.abs(_cos_theta(wo)) * INV_PI
+    tr = p[..., 0:3]
+    valid = jnp.abs(_cos_theta(wi)) > 0
+    return (wo, jnp.where(valid[..., None], tr, 0.0),
+            jnp.where(valid, pdf, 0.0), jnp.zeros(wi.shape[:-1], bool),
+            jnp.ones(wi.shape[:-1]))
+
+
+# ---------------------------------------------------------------------------
 # Dispatch tables
 # ---------------------------------------------------------------------------
 
 _SMOOTH_EVAL = {
+    S.MAT_DIFFTRANS: difftrans_eval,
     S.MAT_ROUGH_PLASTIC: roughplastic_eval,
     S.MAT_DIFFUSE: diffuse_eval,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_eval,
@@ -635,6 +667,7 @@ _SMOOTH_EVAL = {
     S.MAT_WARD: ward_eval,
 }
 _SMOOTH_PDF = {
+    S.MAT_DIFFTRANS: difftrans_pdf,
     S.MAT_ROUGH_PLASTIC: roughplastic_pdf,
     S.MAT_DIFFUSE: diffuse_pdf,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_pdf,
@@ -645,6 +678,7 @@ _SMOOTH_PDF = {
     S.MAT_WARD: ward_pdf,
 }
 _SAMPLERS = {
+    S.MAT_DIFFTRANS: difftrans_sample,
     S.MAT_ROUGH_PLASTIC: roughplastic_sample,
     S.MAT_DIFFUSE: diffuse_sample,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_sample,
@@ -740,3 +774,332 @@ def sample_bsdf(mtype, params, wi, u2, u1, families=None) -> BSDFSample:
         eta = jnp.where(sel, e_, eta)
     wo = jnp.where(flip[..., None], _flip_z(wo), wo)
     return BSDFSample(wo, weight, pdf, is_delta, eta)
+
+
+# ---------------------------------------------------------------------------
+# Composite materials: mixture/blend/mask + smooth coating + normal maps
+# (ref: src/bsdfs/{mixturebsdf,blendbsdf,mask,coating,normalmap,bumpmap}.cpp)
+#
+# The wavefront analog of the reference's nested-BSDF object graph: a
+# composite row stores child *row ids*; resolve_material gathers the child
+# rows (one extra table gather per lane, only compiled in when the scene's
+# static family set contains a composite code) and the _ex entry points
+# combine the children branchlessly. Children must be leaf families
+# (compile_scene flattens nested composites).
+# ---------------------------------------------------------------------------
+
+class MatInfo(NamedTuple):
+    """Resolved per-lane material: top row + (for composites) child rows.
+    For leaf lanes a/b alias the top row and w_a = 1."""
+    mtype: jnp.ndarray      # [N] top type code
+    params: jnp.ndarray     # [N, P] top row (textures resolved)
+    mtype_a: jnp.ndarray    # [N] child-A type (== mtype for leaves)
+    params_a: jnp.ndarray   # [N, P]
+    mtype_b: jnp.ndarray    # [N] child-B type
+    params_b: jnp.ndarray   # [N, P]
+    w_a: jnp.ndarray        # [N] mixture weight of child A
+
+
+def _has_composite(families):
+    return families is None or (S.MAT_MIXTURE in families
+                                or S.MAT_COATING in families)
+
+
+def _tex_override(scene, params, uv):
+    """Albedo/roughness texture resolution for one row batch
+    (factored out of resolve_params so child rows get it too)."""
+    if uv is None or scene.tex_meta.shape[0] <= 1:
+        return params
+    from ..texture.texture import eval_texture
+    alb_tex = params[..., 13].astype(jnp.int32)
+    has_tex = alb_tex >= 0
+    tex_val = eval_texture(scene, jnp.maximum(alb_tex, 0), uv)
+    albedo = jnp.where(has_tex[..., None], tex_val, params[..., 0:3])
+    params = params.at[..., 0:3].set(albedo)
+    rough_tex = params[..., 14].astype(jnp.int32)
+    has_r = rough_tex >= 0
+    rough = eval_texture(scene, jnp.maximum(rough_tex, 0), uv)[..., 0]
+    return params.at[..., 9].set(jnp.where(has_r, rough, params[..., 9]))
+
+
+def resolve_material(scene: S.SceneData, mat_id, uv=None,
+                     families=None) -> MatInfo:
+    """Fetch + texture-resolve material rows; resolve composite children.
+    When the static family set has no composite codes, the child slots
+    alias the top row and compile to nothing extra."""
+    mid = jnp.maximum(mat_id, 0)
+    params = _tex_override(scene, scene.mat_params[mid], uv)
+    mtype = params[..., 12].astype(jnp.int32)
+    if not _has_composite(families):
+        one = jnp.ones(mtype.shape, params.dtype)
+        return MatInfo(mtype, params, mtype, params, mtype, params, one)
+
+    def child(slot):
+        cid = params[..., slot].astype(jnp.int32)
+        crow = scene.mat_params[jnp.maximum(cid, 0)]
+        crow = _tex_override(scene, crow, uv)
+        return crow[..., 12].astype(jnp.int32), crow
+
+    is_comp = (mtype == S.MAT_MIXTURE) | (mtype == S.MAT_COATING)
+    ta, pa = child(18)
+    tb, pb = child(19)
+    mtype_a = jnp.where(is_comp, ta, mtype)
+    params_a = jnp.where(is_comp[..., None], pa, params)
+    mtype_b = jnp.where(is_comp, tb, mtype)
+    params_b = jnp.where(is_comp[..., None], pb, params)
+    w = params[..., 20]
+    if uv is not None and scene.tex_meta.shape[0] > 1:
+        from ..texture.texture import eval_texture
+        wtex = params[..., 21].astype(jnp.int32)
+        has_w = wtex >= 0
+        tw = eval_texture(scene, jnp.maximum(wtex, 0), uv)[..., 0]
+        w = jnp.where(has_w, tw, w)
+    w = jnp.where(mtype == S.MAT_MIXTURE, w, 1.0)
+    return MatInfo(mtype, params, mtype_a, params_a, mtype_b, params_b, w)
+
+
+# -- smooth-coating helpers (ref: src/bsdfs/coating.cpp) --------------------
+
+def _coat_refract_in(v, eta):
+    """Bend a direction into the coat: sinθ' = sinθ/η (same azimuth,
+    same hemisphere). Returns the bent unit vector."""
+    scale = 1.0 / eta[..., None]
+    xy = v[..., 0:2] * scale
+    z2 = jnp.maximum(1.0 - jnp.sum(xy * xy, axis=-1), 0.0)
+    z = jnp.sqrt(z2) * jnp.sign(v[..., 2])
+    return jnp.concatenate([xy, z[..., None]], axis=-1)
+
+
+def _coat_absorption(p, wi_in, wo_in):
+    sigma_t = p[..., 1:4]          # sigma_a · thickness
+    path = (1.0 / jnp.maximum(jnp.abs(_cos_theta(wi_in)), 1e-4)
+            + 1.0 / jnp.maximum(jnp.abs(_cos_theta(wo_in)), 1e-4))
+    return jnp.exp(-sigma_t * path[..., None])
+
+
+def _coating_eval(mat: MatInfo, wi, wo, families):
+    """f·cosθo of the smooth (nested) component under the coat; the delta
+    coat lobe only appears in sample()."""
+    p = mat.params
+    eta = jnp.maximum(p[..., 0], 1.0 + 1e-4)
+    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
+    fo, _, _, _ = fresnel_dielectric(_cos_theta(wo), eta)
+    wi_in = _coat_refract_in(wi, eta)
+    wo_in = _coat_refract_in(wo, eta)
+    f_n = eval_bsdf(mat.mtype_a, mat.params_a, wi_in, wo_in, families)
+    a = _coat_absorption(p, wi_in, wo_in)
+    # eval_n carries cosθo'; convert to cosθo and apply the 1/η² radiance
+    # compression (derivation in the module docstring of this block)
+    jac = (jnp.abs(_cos_theta(wo))
+           / jnp.maximum(jnp.abs(_cos_theta(wo_in)), 1e-6)) / (eta * eta)
+    return f_n * a * ((1.0 - fi) * (1.0 - fo) * jac)[..., None]
+
+
+def _coating_pdf(mat: MatInfo, wi, wo, families):
+    p = mat.params
+    eta = jnp.maximum(p[..., 0], 1.0 + 1e-4)
+    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
+    wi_in = _coat_refract_in(wi, eta)
+    wo_in = _coat_refract_in(wo, eta)
+    pdf_n = pdf_bsdf(mat.mtype_a, mat.params_a, wi_in, wo_in, families)
+    # solid-angle pdf of the nested strategy mapped out through the coat:
+    # dω'/dω = cosθo / (η² cosθo'); selection prob (1-F(wi))
+    return (1.0 - fi) * pdf_n * jnp.abs(_cos_theta(wo)) \
+        / jnp.maximum((eta * eta) * jnp.abs(_cos_theta(wo_in)), 1e-9)
+
+
+def _coating_sample(mat: MatInfo, wi, u2, u1, families):
+    p = mat.params
+    eta = jnp.maximum(p[..., 0], 1.0 + 1e-4)
+    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
+    pick_spec = u1 < fi
+    # delta coat reflection
+    wo_s = reflect(wi)
+    # nested branch: rescale u1 for the child's own lobe choice
+    u1_n = jnp.clip((u1 - fi) / jnp.maximum(1.0 - fi, 1e-6), 0.0,
+                    1.0 - 1e-6)
+    wi_in = _coat_refract_in(wi, eta)
+    wo_n_in, w_n, pdf_n, delta_n, eta_n = _dispatch_sample(
+        mat.mtype_a, mat.params_a, wi_in, u2, u1_n, families)
+    # refract the nested sample back out: sinθ = η sinθ' (TIR ⇒ dead)
+    xy = wo_n_in[..., 0:2] * eta[..., None]
+    sin2 = jnp.sum(xy * xy, axis=-1)
+    tir = sin2 >= 1.0
+    z = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0)) * jnp.sign(
+        wo_n_in[..., 2])
+    wo_n = jnp.concatenate([xy, z[..., None]], axis=-1)
+    fo, _, _, _ = fresnel_dielectric(_cos_theta(wo_n), eta)
+    a = _coat_absorption(p, wi_in, wo_n_in)
+    w_nested = w_n * a * (1.0 - fo)[..., None]
+    pdf_nested = (1.0 - fi) * pdf_n * jnp.abs(_cos_theta(wo_n)) \
+        / jnp.maximum((eta * eta) * jnp.abs(_cos_theta(wo_n_in)), 1e-9)
+    ok_n = ~tir & (pdf_n > 0)
+
+    wo = jnp.where(pick_spec[..., None], wo_s, wo_n)
+    weight = jnp.where(pick_spec[..., None],
+                       p[..., 4:5] * jnp.ones_like(w_nested),
+                       jnp.where(ok_n[..., None], w_nested, 0.0))
+    pdf = jnp.where(pick_spec, fi, jnp.where(ok_n, pdf_nested, 0.0))
+    is_delta = pick_spec | (~pick_spec & delta_n)
+    return wo, weight, pdf, is_delta, jnp.ones(wi.shape[:-1])
+
+
+def _dispatch_sample(mtype, params, wi, u2, u1, families):
+    """Raw family-table sample dispatch (twosided handled by callers)."""
+    n = wi.shape[:-1]
+    wo = jnp.zeros(wi.shape)
+    weight = jnp.zeros(wi.shape[:-1] + (3,))
+    pdf = jnp.zeros(n)
+    is_delta = jnp.zeros(n, bool)
+    eta = jnp.ones(n)
+    for code, fn in _codes(_SAMPLERS, families):
+        w_, wt_, p_, d_, e_ = fn(params, wi, u2, u1)
+        sel = mtype == code
+        wo = jnp.where(sel[..., None], w_, wo)
+        weight = jnp.where(sel[..., None], wt_, weight)
+        pdf = jnp.where(sel, p_, pdf)
+        is_delta = jnp.where(sel, d_, is_delta)
+        eta = jnp.where(sel, e_, eta)
+    return wo, weight, pdf, is_delta, eta
+
+
+# -- public _ex entry points (MatInfo-aware) --------------------------------
+
+def eval_bsdf_ex(mat: MatInfo, wi, wo, families=None):
+    """Mixture-/coating-aware eval. Leaf lanes cost exactly eval_bsdf."""
+    if not _has_composite(families):
+        return eval_bsdf(mat.mtype, mat.params, wi, wo, families)
+    wi_t, flip = _twosided_wi(mat.params, wi)
+    wo_t = jnp.where(flip[..., None], _flip_z(wo), wo)
+    f_a = eval_bsdf(mat.mtype_a, mat.params_a, wi_t, wo_t, families)
+    is_mix = mat.mtype == S.MAT_MIXTURE
+    is_coat = mat.mtype == S.MAT_COATING
+    f = f_a
+    if families is None or S.MAT_MIXTURE in families:
+        f_b = eval_bsdf(mat.mtype_b, mat.params_b, wi_t, wo_t, families)
+        f = jnp.where(is_mix[..., None],
+                      mat.w_a[..., None] * f_a
+                      + (1.0 - mat.w_a)[..., None] * f_b, f)
+    if families is None or S.MAT_COATING in families:
+        f_c = _coating_eval(mat, wi_t, wo_t, families)
+        f = jnp.where(is_coat[..., None], f_c, f)
+    return f
+
+
+def pdf_bsdf_ex(mat: MatInfo, wi, wo, families=None):
+    if not _has_composite(families):
+        return pdf_bsdf(mat.mtype, mat.params, wi, wo, families)
+    wi_t, flip = _twosided_wi(mat.params, wi)
+    wo_t = jnp.where(flip[..., None], _flip_z(wo), wo)
+    p_a = pdf_bsdf(mat.mtype_a, mat.params_a, wi_t, wo_t, families)
+    is_mix = mat.mtype == S.MAT_MIXTURE
+    is_coat = mat.mtype == S.MAT_COATING
+    p = p_a
+    if families is None or S.MAT_MIXTURE in families:
+        p_b = pdf_bsdf(mat.mtype_b, mat.params_b, wi_t, wo_t, families)
+        p = jnp.where(is_mix,
+                      mat.w_a * p_a + (1.0 - mat.w_a) * p_b, p)
+    if families is None or S.MAT_COATING in families:
+        p_c = _coating_pdf(mat, wi_t, wo_t, families)
+        p = jnp.where(is_coat, p_c, p)
+    return p
+
+
+def sample_bsdf_ex(mat: MatInfo, wi, u2, u1, families=None) -> BSDFSample:
+    if not _has_composite(families):
+        return sample_bsdf(mat.mtype, mat.params, wi, u2, u1, families)
+    wi_t, flip = _twosided_wi(mat.params, wi)
+    is_mix = mat.mtype == S.MAT_MIXTURE
+    is_coat = mat.mtype == S.MAT_COATING
+
+    # leaf lanes (and child-A reuse): dispatch on mtype_a
+    wo, weight, pdf, is_delta, eta = _dispatch_sample(
+        mat.mtype_a, mat.params_a, wi_t, u2, u1, families)
+
+    if families is None or S.MAT_MIXTURE in families:
+        # mixture: pick child by u1 (sampleReuse as in mixturebsdf.cpp)
+        pick_a = u1 < mat.w_a
+        u1_a = jnp.clip(u1 / jnp.maximum(mat.w_a, 1e-6), 0.0, 1.0 - 1e-6)
+        u1_b = jnp.clip((u1 - mat.w_a) / jnp.maximum(1.0 - mat.w_a, 1e-6),
+                        0.0, 1.0 - 1e-6)
+        wo_a, wt_a, pdf_a, d_a, eta_a = _dispatch_sample(
+            mat.mtype_a, mat.params_a, wi_t, u2, u1_a, families)
+        wo_b, wt_b, pdf_b, d_b, eta_b = _dispatch_sample(
+            mat.mtype_b, mat.params_b, wi_t, u2, u1_b, families)
+        wo_m = jnp.where(pick_a[..., None], wo_a, wo_b)
+        d_m = jnp.where(pick_a, d_a, d_b)
+        eta_m = jnp.where(pick_a, eta_a, eta_b)
+        # smooth sampled lobe: full mixture f/pdf (MIS-correct);
+        # delta sampled lobe: child weight (other child is measure-zero)
+        f_mix = (mat.w_a[..., None]
+                 * eval_bsdf(mat.mtype_a, mat.params_a, wi_t, wo_m,
+                             families)
+                 + (1.0 - mat.w_a)[..., None]
+                 * eval_bsdf(mat.mtype_b, mat.params_b, wi_t, wo_m,
+                             families))
+        pdf_mix = (mat.w_a * pdf_bsdf(mat.mtype_a, mat.params_a, wi_t,
+                                      wo_m, families)
+                   + (1.0 - mat.w_a) * pdf_bsdf(mat.mtype_b, mat.params_b,
+                                                wi_t, wo_m, families))
+        w_pick = jnp.where(pick_a, mat.w_a, 1.0 - mat.w_a)
+        pdf_delta = w_pick * jnp.where(pick_a, pdf_a, pdf_b)
+        wt_delta = jnp.where(pick_a[..., None], wt_a, wt_b)
+        wt_smooth = jnp.where(pdf_mix[..., None] > 1e-12,
+                              f_mix / jnp.maximum(pdf_mix, 1e-12)[..., None],
+                              0.0)
+        wo = jnp.where(is_mix[..., None], wo_m, wo)
+        weight = jnp.where(is_mix[..., None],
+                           jnp.where(d_m[..., None], wt_delta, wt_smooth),
+                           weight)
+        pdf = jnp.where(is_mix, jnp.where(d_m, pdf_delta, pdf_mix), pdf)
+        is_delta = jnp.where(is_mix, d_m, is_delta)
+        eta = jnp.where(is_mix, eta_m, eta)
+
+    if families is None or S.MAT_COATING in families:
+        wo_c, wt_c, pdf_c, d_c, eta_c = _coating_sample(
+            mat, wi_t, u2, u1, families)
+        wo = jnp.where(is_coat[..., None], wo_c, wo)
+        weight = jnp.where(is_coat[..., None], wt_c, weight)
+        pdf = jnp.where(is_coat, pdf_c, pdf)
+        is_delta = jnp.where(is_coat, d_c, is_delta)
+        eta = jnp.where(is_coat, eta_c, eta)
+
+    wo = jnp.where(flip[..., None], _flip_z(wo), wo)
+    return BSDFSample(wo, weight, pdf, is_delta, eta)
+
+
+def perturb_shading_frame(scene: S.SceneData, mat: MatInfo, frame, uv,
+                          tangent=None):
+    """Normal-/bump-map frame perturbation (ref: src/bsdfs/normalmap.cpp,
+    bumpmap.cpp). Texture slot 16 holds either a tangent-space normal map
+    (bump_scale == 0) or a height map (bump_scale > 0, finite-difference
+    gradient). Applied before BSDF dispatch; returns the new frame."""
+    if scene.tex_meta.shape[0] <= 1 or uv is None:
+        return frame
+    from ..texture.texture import eval_texture
+    ntex = mat.params[..., 16].astype(jnp.int32)
+    has = ntex >= 0
+    tid = jnp.maximum(ntex, 0)
+    s, t, n = frame
+    tv = eval_texture(scene, tid, uv)
+    is_bump = mat.params[..., 17] > 0.0
+    # normal-map branch: decode [0,1]³ → tangent-space normal
+    nl = tv * 2.0 - 1.0
+    # bump branch: forward differences of the height channel
+    eps = 1e-3
+    du = (eval_texture(scene, tid, uv + jnp.asarray([eps, 0.0]))[..., 0]
+          - tv[..., 0]) / eps
+    dv = (eval_texture(scene, tid, uv + jnp.asarray([0.0, eps]))[..., 0]
+          - tv[..., 0]) / eps
+    scalev = mat.params[..., 17]
+    nb = jnp.stack([-du * scalev, -dv * scalev,
+                    jnp.ones_like(du)], axis=-1)
+    nloc = jnp.where(is_bump[..., None], nb, nl)
+    nloc = nloc / jnp.maximum(
+        jnp.sqrt(jnp.sum(nloc * nloc, axis=-1, keepdims=True)), 1e-6)
+    n_new = (s * nloc[..., 0:1] + t * nloc[..., 1:2] + n * nloc[..., 2:3])
+    n_new = jnp.where(has[..., None], n_new, n)
+    s2, t2, n2 = Frame.from_normal(n_new)
+    return (jnp.where(has[..., None], s2, s),
+            jnp.where(has[..., None], t2, t),
+            jnp.where(has[..., None], n2, n))

@@ -13,7 +13,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..bsdf.bsdf import eval_bsdf, pdf_bsdf, resolve_params, sample_bsdf
+from ..bsdf.bsdf import (eval_bsdf_ex, pdf_bsdf_ex, perturb_shading_frame,
+                         resolve_material, sample_bsdf_ex)
 from ..core.math import SHADOW_EPSILON, Frame, dot
 from ..emitter.emitter import (eval_area, eval_env, pdf_direct_area,
                                pdf_direct_env, sample_direct)
@@ -58,9 +59,10 @@ class DirectIntegrator(PathTracer):
         le = eval_area(scene, its.em_id, cos_surf)
         L = L + jnp.where(hit[..., None], le, 0.0)
 
+        mat = resolve_material(scene, its.mat_id, its.uv, self.families)
         frame = Frame.from_normal(its.ns)
+        frame = perturb_shading_frame(scene, mat, frame, its.uv)
         wi_local = Frame.to_local(frame, -d)
-        mtype, params = resolve_params(scene, its.mat_id, its.uv)
         n_rays = jnp.sum(hit.astype(jnp.uint32))
 
         # ---- emitter sampling strategy --------------------------------
@@ -71,13 +73,13 @@ class DirectIntegrator(PathTracer):
                              bounce_dim(k, DIM_NEE_POS))
             ds = sample_direct(scene, its.p, u_sel, u_pos)
             wo = Frame.to_local(frame, ds.d)
-            f = eval_bsdf(mtype, params, wi_local, wo, self.families)
+            f = eval_bsdf_ex(mat, wi_local, wo, self.families)
             ok = hit & (ds.pdf > 0) & jnp.any(f > 0, axis=-1)
             so = offset_ray_origin(its.p, its.ng, ds.d)
             occ = self._occluded(scene, so, ds.d, ray_mint(so),
                                  ds.dist * (1.0 - SHADOW_EPSILON))
             ok = ok & ~occ
-            bsdf_pdf = pdf_bsdf(mtype, params, wi_local, wo, self.families)
+            bsdf_pdf = pdf_bsdf_ex(mat, wi_local, wo, self.families)
             w = jnp.where(ds.is_delta, 1.0,
                           _mis_frac(ds.pdf, bsdf_pdf, frac_lum, frac_bsdf))
             L = L + jnp.where(ok[..., None],
@@ -90,7 +92,7 @@ class DirectIntegrator(PathTracer):
                           bounce_dim(k, DIM_BSDF_U2))
             u1 = self._d1(seed, pixel_id, sample_idx,
                           bounce_dim(k, DIM_BSDF_U1))
-            bs = sample_bsdf(mtype, params, wi_local, u2, u1, self.families)
+            bs = sample_bsdf_ex(mat, wi_local, u2, u1, self.families)
             d2w = Frame.to_world(frame, bs.wo)
             o2 = offset_ray_origin(its.p, its.ng, d2w)
             its2 = self._intersect(scene, o2, d2w, ray_mint(o2))

@@ -15,7 +15,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..bsdf.bsdf import eval_bsdf, pdf_bsdf, resolve_params, sample_bsdf
+from ..bsdf.bsdf import (eval_bsdf_ex, pdf_bsdf_ex, perturb_shading_frame,
+                         resolve_material, sample_bsdf_ex)
 from ..core import rng
 from ..core.math import SHADOW_EPSILON, Frame, dot
 from ..emitter.emitter import (eval_area, eval_env, pdf_direct_area,
@@ -100,14 +101,15 @@ class HeteroVolPathTracer(PathTracer):
             nee_ok = (ds.pdf > 0) & (depth + 1 <= self.max_depth + 1
                                      if self.max_depth > 0 else True)
 
+            mat = resolve_material(scene, its.mat_id, its.uv,
+                                   self.families)
             frame = Frame.from_normal(its.ns)
+            frame = perturb_shading_frame(scene, mat, frame, its.uv)
             wi_local = Frame.to_local(frame, -d)
-            mtype, params = resolve_params(scene, its.mat_id, its.uv)
             wo_nee = Frame.to_local(frame, ds.d)
-            f_surf = eval_bsdf(mtype, params, wi_local, wo_nee,
-                               self.families)
-            pdf_surf_nee = pdf_bsdf(mtype, params, wi_local, wo_nee,
-                                    self.families)
+            f_surf = eval_bsdf_ex(mat, wi_local, wo_nee, self.families)
+            pdf_surf_nee = pdf_bsdf_ex(mat, wi_local, wo_nee,
+                                       self.families)
             f_phase = hg_eval(g, dot(-d, ds.d))
             f_nee = jnp.where(in_medium[..., None],
                               jnp.broadcast_to(f_phase[..., None],
@@ -138,7 +140,7 @@ class HeteroVolPathTracer(PathTracer):
                           bounce_dim(bounce, DIM_BSDF_U2))
             u1 = self._d1(seed, pixel_id, sample_idx,
                           bounce_dim(bounce, DIM_BSDF_U1))
-            bs = sample_bsdf(mtype, params, wi_local, u2, u1, self.families)
+            bs = sample_bsdf_ex(mat, wi_local, u2, u1, self.families)
             d_bsdf = Frame.to_world(frame, bs.wo)
             u_ph = self._d2(seed, pixel_id, sample_idx,
                             bounce_dim(bounce, DIM_PHASE))

@@ -9,7 +9,7 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from ..bsdf.bsdf import resolve_params
+from ..bsdf.bsdf import resolve_material
 from ..core.math import Frame
 from ..core.warp import square_to_cosine_hemisphere
 from ..scene.scene import SceneData
@@ -65,7 +65,7 @@ class FieldIntegrator(PathTracer):
             out = jnp.concatenate(
                 [its.uv, jnp.zeros(its.uv.shape[:-1] + (1,))], axis=-1)
         elif f == "albedo":
-            _, params = resolve_params(scene, its.mat_id, its.uv)
+            params = resolve_material(scene, its.mat_id, its.uv).params
             out = params[..., 0:3]
         elif f == "primIndex":
             out = jnp.broadcast_to(

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..accel.dense import ray_intersect, ray_test
-from ..bsdf.bsdf import eval_bsdf, pdf_bsdf, resolve_params, sample_bsdf
+from ..bsdf.bsdf import (eval_bsdf_ex, pdf_bsdf_ex, perturb_shading_frame,
+                         resolve_material, sample_bsdf_ex)
 from ..core import rng
 from ..core.math import SHADOW_EPSILON, Frame, dot
 from ..emitter.emitter import (eval_area, eval_env, pdf_direct_area,
@@ -134,9 +135,11 @@ class PathTracer:
             depth = bounce + 2
 
             # ---- set up shading frame ----------------------------------
+            mat = resolve_material(scene, its.mat_id, its.uv,
+                                   self.families)
             frame = Frame.from_normal(its.ns)
+            frame = perturb_shading_frame(scene, mat, frame, its.uv)
             wi_local = Frame.to_local(frame, -d)
-            mtype, params = resolve_params(scene, its.mat_id, its.uv)
 
             # ---- next-event estimation ---------------------------------
             # skip when the *next* vertex would exceed max_depth
@@ -148,8 +151,7 @@ class PathTracer:
                              bounce_dim(bounce, DIM_NEE_POS))
             ds = sample_direct(scene, its.p, u_sel, u_pos)
             wo_nee = Frame.to_local(frame, ds.d)
-            f_nee = eval_bsdf(mtype, params, wi_local, wo_nee,
-                              self.families)
+            f_nee = eval_bsdf_ex(mat, wi_local, wo_nee, self.families)
             contributes = nee_allowed & (ds.pdf > 0) & (
                 jnp.any(f_nee > 0, axis=-1))
             # shadow ray: [ε, dist·(1-ShadowEpsilon)] (scene.cpp:846)
@@ -157,8 +159,8 @@ class PathTracer:
             smax = ds.dist * (1.0 - SHADOW_EPSILON)
             occluded = self._occluded(scene, so, ds.d, ray_mint(so), smax)
             contributes = contributes & ~occluded
-            bsdf_pdf_nee = pdf_bsdf(mtype, params, wi_local, wo_nee,
-                                    self.families)
+            bsdf_pdf_nee = pdf_bsdf_ex(mat, wi_local, wo_nee,
+                                       self.families)
             w_nee = jnp.where(ds.is_delta, 1.0,
                               mis_power(ds.pdf, bsdf_pdf_nee))
             L = L + jnp.where(contributes[..., None],
@@ -170,8 +172,7 @@ class PathTracer:
                           bounce_dim(bounce, DIM_BSDF_U2))
             u1 = self._d1(seed, pixel_id, sample_idx,
                           bounce_dim(bounce, DIM_BSDF_U1))
-            bs = sample_bsdf(mtype, params, wi_local, u2, u1,
-                             self.families)
+            bs = sample_bsdf_ex(mat, wi_local, u2, u1, self.families)
             d_next = Frame.to_world(frame, bs.wo)
             o_next = offset_ray_origin(its.p, its.ng, d_next)
             bsdf_ok = bs.pdf > 0

@@ -22,7 +22,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..bsdf.bsdf import eval_bsdf, resolve_params, sample_bsdf
+from ..bsdf.bsdf import (eval_bsdf_ex, perturb_shading_frame,
+                         resolve_material, sample_bsdf_ex)
 from ..core import rng
 from ..core.math import SHADOW_EPSILON, Frame, dot, normalize
 from ..core.warp import square_to_cosine_hemisphere
@@ -108,15 +109,16 @@ class ParticleTracer(PathTracer):
             its = self._intersect(scene, o, d, ray_mint(o))
             hit = active & its.valid
 
+            mat = resolve_material(scene, its.mat_id, its.uv,
+                                   self.families)
             frame = Frame.from_normal(its.ns)
+            frame = perturb_shading_frame(scene, mat, frame, its.uv)
             wi_local = Frame.to_local(frame, -d)
-            mtype, params = resolve_params(scene, its.mat_id, its.uv)
 
             # connect to camera
             to_cam = normalize(cam_pos - its.p)
             wc_local = Frame.to_local(frame, to_cam)
-            f_cam = eval_bsdf(mtype, params, wi_local, wc_local,
-                              self.families)
+            f_cam = eval_bsdf_ex(mat, wi_local, wc_local, self.families)
             accum, _ = splat(accum, its.p, alpha * f_cam, hit)
 
             # continue the walk
@@ -124,8 +126,7 @@ class ParticleTracer(PathTracer):
                                                      DIM_BSDF_U2))
             u1 = rng.sample_1d(seed, pid, bounce_dim(bounce + 1,
                                                      DIM_BSDF_U1))
-            bs = sample_bsdf(mtype, params, wi_local, u2, u1,
-                             self.families)
+            bs = sample_bsdf_ex(mat, wi_local, u2, u1, self.families)
             d_next = Frame.to_world(frame, bs.wo)
             o_next = offset_ray_origin(its.p, its.ng, d_next)
             alpha_next = alpha * bs.weight

@@ -47,6 +47,16 @@ class Material:
     albedo_texture: int = -1                          # texture slot id
     roughness_texture: int = -1
     two_sided: bool = False                           # twosided adapter
+    normal_texture: int = -1                          # normalmap/bumpmap
+    bump_scale: float = 0.0                           # >0 ⇒ bumpmap mode
+    # composite adapters (mixture/blend/mask/coating):
+    child_a: int = -1            # material index of nested child A
+    child_b: int = -1            # material index of nested child B
+    weight: float = 0.5          # mixture weight of child A / mask opacity
+    weight_texture: int = -1     # blendbsdf weight / mask opacity texture
+    transmittance: Sequence[float] = (0.5, 0.5, 0.5)  # difftrans
+    sigma_a: Sequence[float] = (0.0, 0.0, 0.0)        # coating absorption
+    thickness: float = 1.0                            # coating layer depth
 
     _KINDS = {
         "diffuse": S.MAT_DIFFUSE, "conductor": S.MAT_CONDUCTOR,
@@ -56,6 +66,9 @@ class Material:
         "roughplastic": S.MAT_ROUGH_PLASTIC, "phong": S.MAT_PHONG,
         "ward": S.MAT_WARD, "roughdiffuse": S.MAT_ROUGH_DIFFUSE,
         "null": S.MAT_NULL, "thindielectric": S.MAT_THIN_DIELECTRIC,
+        "difftrans": S.MAT_DIFFTRANS,
+        "mixturebsdf": S.MAT_MIXTURE, "blendbsdf": S.MAT_MIXTURE,
+        "mask": S.MAT_MIXTURE, "coating": S.MAT_COATING,
     }
 
     def compile(self):
@@ -92,12 +105,32 @@ class Material:
             p[0:3] = self.diffuse_reflectance
             p[3:6] = self.specular_reflectance
             p[9], p[10] = self.alpha, av
+        elif code == S.MAT_DIFFTRANS:
+            p[0:3] = self.transmittance
+        elif code == S.MAT_MIXTURE:
+            if self.kind == "mask":
+                # mask = mixture(child, null) with opacity weight
+                # (ref: src/bsdfs/mask.cpp); the null child row id is
+                # patched in by compile_scene
+                p[18], p[19] = float(self.child_a), -2.0
+                p[20] = self.weight          # opacity
+            else:
+                p[18], p[19] = float(self.child_a), float(self.child_b)
+                p[20] = self.weight
+            p[21] = float(self.weight_texture)
+        elif code == S.MAT_COATING:
+            p[0] = self.int_ior / self.ext_ior
+            p[1:4] = np.asarray(self.sigma_a, np.float64) * self.thickness
+            p[4] = 1.0
+            p[18] = float(self.child_a)
         tex = np.array([self.albedo_texture, self.roughness_texture],
                        np.int32)
         # dispatch metadata packed into the row (scene.py layout)
         p[12] = float(code)
         p[13], p[14] = float(tex[0]), float(tex[1])
         p[15] = float(self.two_sided)
+        p[16] = float(self.normal_texture)
+        p[17] = float(self.bump_scale)
         return code, p, tex
 
 
@@ -411,6 +444,15 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
     for m in desc.materials:
         c, p, t = m.compile()
         mat_type.append(c); mat_params.append(p); mat_tex.append(t)
+    # mask adapters reference an implicit null child (sentinel -2):
+    # append one shared null row and patch the references
+    if any(p[12] == S.MAT_MIXTURE and p[19] == -2.0 for p in mat_params):
+        null_id = len(mat_params)
+        c, p, t = Material(kind="null").compile()
+        mat_type.append(c); mat_params.append(p); mat_tex.append(t)
+        for row in mat_params[:null_id]:
+            if row[12] == S.MAT_MIXTURE and row[19] == -2.0:
+                row[19] = float(null_id)
 
     # Textures
     from ..texture.texture import pack_textures

@@ -31,7 +31,12 @@ MAT_WARD = 8
 MAT_ROUGH_DIFFUSE = 9
 MAT_NULL = 10
 MAT_THIN_DIELECTRIC = 11
-N_MAT_TYPES = 12
+MAT_DIFFTRANS = 12        # diffuse transmitter (ref: src/bsdfs/difftrans.cpp)
+MAT_MIXTURE = 13          # mixture/blend/mask adapter (mixturebsdf.cpp,
+#                           blendbsdf.cpp, mask.cpp — compiled to one code)
+MAT_COATING = 14          # smooth dielectric coat over a nested BSDF
+#                           (ref: src/bsdfs/coating.cpp)
+N_MAT_TYPES = 15
 
 # Emitter type codes (ref: EEmitterType emitter.h:76)
 EM_AREA = 0
@@ -53,10 +58,19 @@ EM_SPOT = 5
 # phong:            [0:3] diffuse refl, [3:6] spec refl, [6] exponent
 # ward:             [0:3] diffuse refl, [3:6] spec refl, [9] alpha_u [10] alpha_v
 # rough_diffuse:    [0:3] albedo, [9] alpha
+# difftrans:        [0:3] transmittance
+# mixture:          [18] child-A row id, [19] child-B row id, [20] weight
+#                   of child A, [21] weight-texture id (-1 const; mask =
+#                   mixture(child, null) with opacity as the weight;
+#                   blend = texture-driven weight)
+# coating:          [0] eta ratio, [1:4] sigmaA·thickness, [4] coat
+#                   specular-reflectance scale, [18] nested child row id
 # all:              [12] type code, [13] albedo-tex id, [14] roughness-tex id
-#                   [15] two-sided flag
+#                   [15] two-sided flag, [16] normal/bump-map tex id,
+#                   [17] bump scale (0 ⇒ slot 16 is a tangent-space normal
+#                   map; >0 ⇒ height bump map with that scale)
 #                   (packed so one row gather fetches the whole material)
-N_MAT_PARAMS = 16
+N_MAT_PARAMS = 24
 
 # mat_tex[M, 2]: texture slot per textured parameter (-1 = constant)
 # slot 0: albedo / diffuse reflectance texture id

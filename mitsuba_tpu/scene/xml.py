@@ -147,7 +147,7 @@ _BSDF_MAP = {
     "dielectric": "dielectric", "roughdielectric": "roughdielectric",
     "thindielectric": "thindielectric", "plastic": "plastic",
     "roughplastic": "roughplastic", "phong": "phong", "ward": "ward",
-    "null": "null",
+    "null": "null", "difftrans": "difftrans",
 }
 
 
@@ -178,7 +178,56 @@ def load_xml(path: str, parameters: dict | None = None,
         if btype == "twosided":
             inner = elem.find("bsdf")
             if inner is not None:
-                return parse_bsdf(inner)
+                mid = parse_bsdf(inner)
+                desc.materials[mid].two_sided = True
+                return mid
+        if btype in ("normalmap", "bumpmap"):
+            # adapters: parse nested child, attach the perturbation texture
+            # (ref: src/bsdfs/{normalmap,bumpmap}.cpp)
+            inner = elem.find("bsdf")
+            mid = parse_bsdf(inner) if inner is not None \
+                else desc.add_material()
+            for tex in elem.findall("texture"):
+                timg = _parse_texture(tex)
+                if timg is not None:
+                    desc.materials[mid].normal_texture = \
+                        desc.add_texture(timg)
+            if btype == "bumpmap":
+                desc.materials[mid].bump_scale = 1.0
+            if elem.get("id"):
+                named_materials[elem.get("id")] = mid
+            return mid
+        if btype in ("mixturebsdf", "blendbsdf", "mask", "coating"):
+            p = _props(elem, params)
+            children = [parse_bsdf(b) for b in elem.findall("bsdf")]
+            for r in elem.findall("ref"):
+                children.append(named_materials[r.get("id")])
+            kw = {"kind": btype, "child_a": children[0] if children else 0}
+            if btype == "mixturebsdf":
+                ws = [float(x) for x in str(
+                    p.get("weights", "0.5, 0.5")).replace(",", " ").split()]
+                kw["child_b"] = children[1] if len(children) > 1 else 0
+                kw["weight"] = ws[0] / max(sum(ws), 1e-9)
+            elif btype == "blendbsdf":
+                kw["child_b"] = children[1] if len(children) > 1 else 0
+                kw["weight"] = float(p.get("weight", 0.5))
+            elif btype == "mask":
+                op = p.get("opacity", (0.5, 0.5, 0.5))
+                kw["weight"] = (float(np.mean(op))
+                                if not np.isscalar(op) else float(op))
+            else:  # coating
+                kw["int_ior"] = float(p.get("intIOR", 1.5046))
+                kw["ext_ior"] = float(p.get("extIOR", 1.000277))
+                kw["sigma_a"] = p.get("sigmaA", (0.0, 0.0, 0.0))
+                kw["thickness"] = float(p.get("thickness", 1.0))
+            for tex in elem.findall("texture"):
+                timg = _parse_texture(tex)
+                if timg is not None:
+                    kw["weight_texture"] = desc.add_texture(timg)
+            mid = desc.add_material(**kw)
+            if elem.get("id"):
+                named_materials[elem.get("id")] = mid
+            return mid
         if btype not in _BSDF_MAP:
             warn_or_raise(f"unsupported bsdf type {btype} → diffuse")
             btype = "diffuse"
@@ -211,6 +260,8 @@ def load_xml(path: str, parameters: dict | None = None,
             kw["k"] = p["k"]
         if "exponent" in p:
             kw["exponent"] = p["exponent"]
+        if "transmittance" in p:
+            kw["transmittance"] = p["transmittance"]
         # texture child for reflectance
         for tex in elem.findall("texture"):
             timg = _parse_texture(tex)
