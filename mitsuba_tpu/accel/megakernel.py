@@ -218,42 +218,32 @@ def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
     return t_best, attr_best
 
 
-def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
-                       families: tuple, rr_depth: int, max_depth: int,
-                       m_pad: int, et_pad: int):
-    """Build the bounce kernel for static scene/config sizes."""
+def _bounce_math(tc, c_clusters, families, rr_depth, max_depth, m_pad,
+                 et_pad, woop, attr_tab, mat, em, consts, pixel, samp,
+                 seed, bounce, st):
+    """One path-tracer bounce over a [16, B] state block (pure function of
+    VMEM-resident values; shared by the per-bounce and whole-path kernels).
+    `bounce` may be a traced int32 scalar (whole-path loop index).
+    Returns (new_state [16, B], trace_count [1, B], shadow_count [1, B])."""
+    ox, oy, oz = st[0:1], st[1:2], st[2:3]
+    dx, dy, dz = st[3:4], st[4:5], st[5:6]
+    tpr, tpg, tpb = st[6:7], st[7:8], st[8:9]
+    lr, lg, lb = st[9:10], st[10:11], st[11:12]
+    active = st[12:13] > 0.5
+    prev_pdf = st[13:14]
+    prev_delta = st[14:15] > 0.5
+    eta_scale = st[15:16]
 
-    def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
-               meta_ref, consts_ref, st_in_ref, st_out_ref):
-        # state rows: 0:3 o, 3:6 d, 6:9 tp, 9:12 L, 12 active, 13 prev_pdf,
-        # 14 prev_delta, 15 eta_scale
-        st = st_in_ref[:]
-        ox, oy, oz = st[0:1], st[1:2], st[2:3]
-        dx, dy, dz = st[3:4], st[4:5], st[5:6]
-        tpr, tpg, tpb = st[6:7], st[7:8], st[8:9]
-        lr, lg, lb = st[9:10], st[10:11], st[11:12]
-        active = st[12:13] > 0.5
-        prev_pdf = st[13:14]
-        prev_delta = st[14:15] > 0.5
-        eta_scale = st[15:16]
+    dim_base = SENSOR_DIMS + bounce * DIMS_PER_BOUNCE
 
-        pixel = pix_ref[:]                      # [1, B] int32
-        samp = samp_ref[:]                      # [1, B] int32
-        seed = meta_ref[0]                      # int32 scalars (SMEM)
-        bounce = meta_ref[2]
-        dim_base = SENSOR_DIMS + bounce * DIMS_PER_BOUNCE
-
-        woop = woop_ref[:]
-        mat = mat_ref[:]                         # [16, M_pad]
-        em = em_ref[:]                           # [ET_pad, 16]
-
+    if True:
         # ---- closest hit ------------------------------------------------
         scale = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
                                   jnp.abs(oz))
         mint = 1e-4 * scale
         maxt = jnp.full_like(mint, _MISS)
         t_best, attr = _trace_inline(woop, tc, c_clusters, ox, oy, oz,
-                                     dx, dy, dz, mint, maxt, attr_ref[:])
+                                     dx, dy, dz, mint, maxt, attr_tab)
         hit = active & (t_best < _MISS)
         t_safe = jnp.where(t_best < _MISS, t_best, 1.0)
         px_, py_, pz_ = (ox + t_safe * dx, oy + t_safe * dy,
@@ -282,15 +272,8 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
         cos_surf = -(dx * ngx + dy * ngy + dz * ngz)
         # single-area-emitter specialization: its radiance + pmf/area are
         # scalars in the meta row (multi-emitter scenes use the XLA path)
-        le_r = consts_ref[0]
-        le_g = consts_ref[1]
-        le_b = consts_ref[2]
-        env_r = consts_ref[3]
-        env_g = consts_ref[4]
-        env_b = consts_ref[5]
-        env_pmf = consts_ref[6]
-        em_area_tot = consts_ref[7]
-        em_pmf_area = consts_ref[8]
+        (le_r, le_g, le_b, env_r, env_g, env_b, env_pmf, em_area_tot,
+         em_pmf_area) = consts[:9]
 
         escaped = active & (t_best >= _MISS)
         inv4pi = jnp.float32(1.0 / (4.0 * np.pi))
@@ -422,7 +405,7 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
         af = alive.astype(jnp.float32)
         sgn_n = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
                           1.0, -1.0)
-        out = jnp.concatenate([
+        new_st = jnp.concatenate([
             px_ + sgn_n * eps_o * ngx, py_ + sgn_n * eps_o * ngy,
             pz_ + sgn_n * eps_o * ngz,
             jnp.where(alive, ndx, dx), jnp.where(alive, ndy, dy),
@@ -433,11 +416,70 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
             jnp.where(is_delta, 1.0, pdf_b),
             is_delta.astype(jnp.float32),
             eta_scale,
-            # stats rows (not part of the carried state)
-            active.astype(jnp.float32),
-            (hit & (pdf_nee > 0.0)).astype(jnp.float32),
         ], axis=0)
-        st_out_ref[:] = out
+        return (new_st, active.astype(jnp.float32),
+                (hit & (pdf_nee > 0.0)).astype(jnp.float32))
+
+
+def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
+                       families: tuple, rr_depth: int, max_depth: int,
+                       m_pad: int, et_pad: int):
+    """Single-bounce kernel (one pallas_call per bounce; kept for
+    incremental/debug use — the whole-path kernel below is the fast path)."""
+
+    def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
+               meta_ref, consts_ref, st_in_ref, st_out_ref):
+        consts = tuple(consts_ref[i] for i in range(9))
+        new_st, s_tr, s_sh = _bounce_math(
+            tc, c_clusters, families, rr_depth, max_depth, m_pad, et_pad,
+            woop_ref[:], attr_ref[:], mat_ref[:], em_ref[:], consts,
+            pix_ref[:], samp_ref[:], meta_ref[0], meta_ref[2],
+            st_in_ref[:])
+        st_out_ref[:] = jnp.concatenate([new_st, s_tr, s_sh], axis=0)
+
+    return kernel
+
+
+def make_path_kernel(tc: int, c_clusters: int, em_count: int,
+                     families: tuple, rr_depth: int, max_depth: int,
+                     m_pad: int, et_pad: int, n_bounces: int):
+    """Whole-path megakernel: the ENTIRE bounce loop runs inside one Pallas
+    program. Path state lives in VMEM/vector registers for all bounces —
+    zero inter-bounce HBM traffic, one dispatch per render pass — and the
+    loop exits early once every lane in the block is dead (by bounce ~6
+    under RR most lanes are). This is the 'multi-bounce fusion' stage of
+    the roadmap (ARCHITECTURE.md)."""
+
+    def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
+               meta_ref, consts_ref, st_in_ref, st_out_ref):
+        consts = tuple(consts_ref[i] for i in range(9))
+        woop = woop_ref[:]
+        attr_tab = attr_ref[:]
+        mat = mat_ref[:]
+        em = em_ref[:]
+        pixel = pix_ref[:]
+        samp = samp_ref[:]
+        seed = meta_ref[0]
+        st0 = st_in_ref[:]
+        b = st0.shape[1]
+        z = jnp.zeros((1, b))
+
+        def cond(carry):
+            i, st, _, _ = carry
+            any_alive = jnp.sum(st[12:13]) > 0.0
+            return (i < n_bounces) & any_alive
+
+        def body(carry):
+            i, st, s0, s1 = carry
+            new_st, t0, t1 = _bounce_math(
+                tc, c_clusters, families, rr_depth, max_depth, m_pad,
+                et_pad, woop, attr_tab, mat, em, consts, pixel, samp,
+                seed, i, st)
+            return i + 1, new_st, s0 + t0, s1 + t1
+
+        _, st, s0, s1 = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), st0, z, z))
+        st_out_ref[:] = jnp.concatenate([st, s0, s1], axis=0)
 
     return kernel
 
@@ -465,6 +507,48 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
     kernel = make_bounce_kernel(tables.tc, c_clusters, tables.em_count,
                                 families, rr_depth, max_depth, m_pad,
                                 et_pad)
+    grid = (n // block,)
+    full = lambda shape: pl.BlockSpec(shape, lambda r: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            full(tables.woop.shape),
+            full(tables.attr.shape),
+            full(tables.mat.shape),
+            full(tables.em_rows.shape),
+            col(1),                                   # pixel
+            col(1),                                   # samp
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # meta_u32
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # scene consts
+            col(N_STATE),
+        ],
+        out_specs=col(N_OUT),
+        out_shape=jax.ShapeDtypeStruct((N_OUT, n), jnp.float32),
+    )(tables.woop, tables.attr, tables.mat, tables.em_rows,
+      pixel, samp, meta_u32, jnp.asarray(meta_consts, jnp.float32), state)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tables", "families", "rr_depth",
+                                    "max_depth", "n_bounces", "block"))
+def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
+             meta_consts, state, pixel, samp, meta_u32, block=DEF_BLOCK):
+    """Full path trace in ONE fused kernel (all bounces, early exit).
+
+    Same inputs as run_bounce minus the per-bounce meta; returns
+    [18, Npad] — final state rows + summed trace/shadow stats rows."""
+    n = state.shape[1]
+    c_clusters = tables.woop.shape[0]
+    m_pad = tables.mat.shape[1]
+    et_pad = tables.em_rows.shape[0]
+    kernel = make_path_kernel(tables.tc, c_clusters, tables.em_count,
+                              families, rr_depth, max_depth, m_pad,
+                              et_pad, n_bounces)
     grid = (n // block,)
     full = lambda shape: pl.BlockSpec(shape, lambda r: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.megakernel import (DEF_BLOCK, MegaTables, N_STATE,
-                                build_mega_tables, run_bounce)
+                                build_mega_tables, run_path)
 from ..scene.scene import EM_AREA, EM_CONSTANT, SceneData
 from .path import PathTracer
 
@@ -101,23 +101,15 @@ class MegaPathTracer(PathTracer):
             samp = jnp.pad(samp, (0, pad))
         samp = samp[None, :]
 
-        def body(carry, bounce):
-            st, rays = carry
-            meta = jnp.stack([
-                jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
-                jnp.zeros((), jnp.int32),
-                bounce.astype(jnp.int32),
-                jnp.zeros((), jnp.int32)])
-            out = run_bounce(self.tables, self.families, self.rr_depth,
-                             self.max_depth, self.meta_consts, st, pix,
-                             samp, meta, block=self.block)
-            rays = rays + (jnp.sum(out[16]) + jnp.sum(out[17])
-                           ).astype(jnp.uint32)
-            return (out[:N_STATE], rays), None
-
         n_bounces = self.max_depth if self.max_depth > 0 else 32
-        (st, n_rays), _ = jax.lax.scan(
-            body, (state, jnp.zeros((), jnp.uint32)),
-            jnp.arange(n_bounces))
-        L = st[9:12, :n].T
+        meta = jnp.stack([
+            jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32)])
+        out = run_path(self.tables, self.families, self.rr_depth,
+                       self.max_depth, n_bounces, self.meta_consts, state,
+                       pix, samp, meta, block=self.block)
+        n_rays = (jnp.sum(out[16]) + jnp.sum(out[17])).astype(jnp.uint32)
+        L = out[9:12, :n].T
         return L, n_rays

@@ -39,7 +39,7 @@ def test_bsdf_chi2(name, kwargs, theta):
     wi = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
 
     def sample_fn(n):
-        p = jnp.broadcast_to(jnp.asarray(prow), (n, 16))
+        p = jnp.broadcast_to(jnp.asarray(prow), (n, prow.shape[0]))
         mt = jnp.full((n,), code, jnp.int32)
         wib = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
         u2 = rng.sample_2d(0, np.arange(n), 0)
@@ -50,7 +50,7 @@ def test_bsdf_chi2(name, kwargs, theta):
 
     def pdf_fn(dirs):
         n = dirs.shape[0]
-        p = jnp.broadcast_to(jnp.asarray(prow), (n, 16))
+        p = jnp.broadcast_to(jnp.asarray(prow), (n, prow.shape[0]))
         mt = jnp.full((n,), code, jnp.int32)
         wib = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
         pdf = B.pdf_bsdf(mt, p, wib, jnp.asarray(dirs))
@@ -72,7 +72,7 @@ def test_weight_identity(name, kwargs, theta):
     code, prow = _compiled(kwargs)
     n = 4096
     wi = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
-    p = jnp.broadcast_to(jnp.asarray(prow), (n, 16))
+    p = jnp.broadcast_to(jnp.asarray(prow), (n, prow.shape[0]))
     mt = jnp.full((n,), code, jnp.int32)
     wib = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
     u2 = rng.sample_2d(5, np.arange(n), 0)

@@ -26,7 +26,7 @@ def test_chi2(name, kwargs, theta):
     wi = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
 
     def sample_fn(n):
-        p = jnp.broadcast_to(jnp.asarray(prow), (n, 16))
+        p = jnp.broadcast_to(jnp.asarray(prow), (n, prow.shape[0]))
         mt = jnp.full((n,), code, jnp.int32)
         wib = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
         u2 = rng.sample_2d(0, np.arange(n), 0)
@@ -37,7 +37,7 @@ def test_chi2(name, kwargs, theta):
 
     def pdf_fn(dirs):
         n = dirs.shape[0]
-        p = jnp.broadcast_to(jnp.asarray(prow), (n, 16))
+        p = jnp.broadcast_to(jnp.asarray(prow), (n, prow.shape[0]))
         mt = jnp.full((n,), code, jnp.int32)
         wib = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
         return np.asarray(B.pdf_bsdf(mt, p, wib, jnp.asarray(dirs)))
@@ -53,7 +53,7 @@ def test_roughdielectric_energy():
     code, prow = _compiled(dict(kind="roughdielectric", alpha=0.2))
     n = 100_000
     wi = np.array([np.sin(0.4), 0, np.cos(0.4)], np.float32)
-    p = jnp.broadcast_to(jnp.asarray(prow), (n, 16))
+    p = jnp.broadcast_to(jnp.asarray(prow), (n, prow.shape[0]))
     mt = jnp.full((n,), code, jnp.int32)
     wib = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
     bs = B.sample_bsdf(mt, p, wib, rng.sample_2d(0, np.arange(n), 0),
@@ -75,7 +75,7 @@ def test_null_passthrough():
     code, prow = _compiled(dict(kind="null"))
     wi = jnp.asarray(np.array([[0.3, 0.2, 0.93]], np.float32))
     bs = B.sample_bsdf(jnp.full((1,), code, jnp.int32),
-                       jnp.broadcast_to(jnp.asarray(prow), (1, 16)),
+                       jnp.broadcast_to(jnp.asarray(prow), (1, prow.shape[0])),
                        wi, jnp.zeros((1, 2)), jnp.zeros((1,)))
     assert np.allclose(np.asarray(bs.wo), -np.asarray(wi))
     assert np.allclose(np.asarray(bs.weight), 1.0)
