@@ -66,6 +66,20 @@ def main(argv=None) -> int:
              scene.n_emitters, time.time() - t0)
 
     out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
+
+    # integrators with their own outer loop (PSSMLT chains, adaptive
+    # sample control) render through the uniform render_full entry
+    if hasattr(integ, "render_full"):
+        t1 = time.time()
+        img = np.asarray(integ.render_full(scene, loaded.camera,
+                                           loaded.film, spp, args.seed))
+        write_image(out, img)
+        counter_add("Render time (s)", time.time() - t1)
+        if not args.quiet:
+            log.info("Wrote %s (%.2fs render)", out, time.time() - t1)
+            print_stats()
+        return 0
+
     mesh = None
     if args.devices > 1:
         import jax

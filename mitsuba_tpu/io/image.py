@@ -167,3 +167,25 @@ def write_image(path: str, img) -> None:
         write_png(path, img)
     else:
         raise ValueError(f"unsupported image format: {path}")
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read any supported format → float32 [H, W, 3] linear RGB
+    (LDR formats are de-gamma'd; ref: Bitmap's format dispatch,
+    bitmap.cpp)."""
+    low = path.lower()
+    if low.endswith(".exr"):
+        return read_exr(path)
+    if low.endswith(".pfm"):
+        return read_pfm(path)
+    if low.endswith(".npy"):
+        img = np.load(path).astype(np.float32)
+    else:
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("RGB"),
+                         np.float32) / 255.0
+        img = np.where(img <= 0.04045, img / 12.92,
+                       ((img + 0.055) / 1.055) ** 2.4)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    return img.astype(np.float32)

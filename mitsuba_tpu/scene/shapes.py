@@ -113,3 +113,172 @@ def cylinder(subdiv: int = 64) -> Mesh:
         f.append([i, j, subdiv + i])
         f.append([j, subdiv + j, subdiv + i])
     return Mesh(v, np.array(f), n, uv)
+
+
+def heightfield(heights: np.ndarray, flip_normals: bool = False) -> Mesh:
+    """Regular-grid heightfield spanning [-1,1]² in xy with z = h(x, y)
+    (ref: src/shapes/heightfield.cpp — winmad's 2D-SAH-quadtree shape;
+    here compiled to triangles for the wavefront intersector like every
+    other shape; the reference's lod/tiled/composite variants map to
+    building this mesh from a chosen mip level of the height texture).
+
+    heights: [H, W] float array of surface heights.
+    """
+    hts = np.asarray(heights, np.float64)
+    hh, ww = hts.shape
+    xs = np.linspace(-1.0, 1.0, ww)
+    ys = np.linspace(-1.0, 1.0, hh)
+    xg, yg = np.meshgrid(xs, ys, indexing="xy")
+    v = np.stack([xg, yg, hts], axis=-1).reshape(-1, 3)
+    uv = np.stack([(xg + 1) / 2, (yg + 1) / 2], -1).reshape(-1, 2)
+
+    # central-difference shading normals (ref heightfield.cpp derivatives)
+    dx = np.gradient(hts, xs, axis=1)
+    dy = np.gradient(hts, ys, axis=0)
+    n = np.stack([-dx, -dy, np.ones_like(hts)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    if flip_normals:
+        n = -n
+    n = n.reshape(-1, 3)
+
+    idx = np.arange(hh * ww).reshape(hh, ww)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    f = np.concatenate([np.stack([a, b, d], -1), np.stack([d, c, a], -1)])
+    return Mesh(v, f, n, uv)
+
+
+def hair(control_points: np.ndarray, first_vertex: np.ndarray,
+         radius: float = 0.025, sides: int = 4) -> Mesh:
+    """Hair/fiber geometry: polyline strands tessellated into generalized
+    cylinders (ref: src/shapes/hair.cpp + hair.h builds a kd-tree over
+    analytic curve segments; the TPU build tessellates each segment into
+    a `sides`-gon tube so fibers ride the same triangle wavefront —
+    radius and segment connectivity semantics match the plugin's
+    `radius` property and .hair file format).
+
+    control_points: [P, 3] concatenated strand vertices.
+    first_vertex: [S+1] int offsets — strand s uses points
+      [first_vertex[s], first_vertex[s+1]).
+    """
+    cps = np.asarray(control_points, np.float64)
+    fv = np.asarray(first_vertex, np.int64)
+    verts, norms, uvs, faces = [], [], [], []
+    base = 0
+    ang = np.arange(sides) * (2 * np.pi / sides)
+    circ = np.stack([np.cos(ang), np.sin(ang)], -1)       # [sides, 2]
+    for s in range(len(fv) - 1):
+        pts = cps[fv[s]:fv[s + 1]]
+        if len(pts) < 2:
+            continue
+        # per-vertex tangents, parallel-transported frame
+        tang = np.gradient(pts, axis=0)
+        tang /= np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True),
+                           1e-12)
+        # initial normal: anything perpendicular to t0
+        t0 = tang[0]
+        ref = np.array([1.0, 0.0, 0.0]) if abs(t0[0]) < 0.9 \
+            else np.array([0.0, 1.0, 0.0])
+        u = np.cross(t0, ref)
+        u /= np.linalg.norm(u)
+        rings = []
+        ring_n = []
+        for i, (p, t) in enumerate(zip(pts, tang)):
+            if i > 0:
+                # transport u across the tangent rotation
+                u = u - t * np.dot(u, t)
+                nu = np.linalg.norm(u)
+                u = u / nu if nu > 1e-9 else np.cross(
+                    t, [1.0, 0.0, 0.0])
+            w = np.cross(t, u)
+            ring_dir = circ[:, 0:1] * u + circ[:, 1:2] * w  # [sides, 3]
+            rings.append(p + radius * ring_dir)
+            ring_n.append(ring_dir)
+        rings = np.asarray(rings)            # [L, sides, 3]
+        ring_n = np.asarray(ring_n)
+        L = len(pts)
+        verts.append(rings.reshape(-1, 3))
+        norms.append(ring_n.reshape(-1, 3))
+        vcoord = np.repeat(np.linspace(0, 1, L), sides)
+        ucoord = np.tile(ang / (2 * np.pi), L)
+        uvs.append(np.stack([ucoord, vcoord], -1))
+        for i in range(L - 1):
+            for j in range(sides):
+                j2 = (j + 1) % sides
+                a = base + i * sides + j
+                b = base + i * sides + j2
+                c = base + (i + 1) * sides + j
+                d = base + (i + 1) * sides + j2
+                faces.append([a, b, d])
+                faces.append([d, c, a])
+        base += L * sides
+    if not verts:
+        return Mesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+    return Mesh(np.concatenate(verts), np.asarray(faces, np.int64),
+                np.concatenate(norms), np.concatenate(uvs))
+
+
+def load_hair(path: str, radius: float = 0.025, sides: int = 4) -> Mesh:
+    """Load the reference's .hair format (ref: src/shapes/hair.cpp
+    fileformat: binary 'BINARY_HAIR' header + float triples, or ASCII
+    lines of xyz with blank lines separating strands) and tessellate."""
+    with open(path, "rb") as f:
+        head = f.read(11)
+        if head == b"BINARY_HAIR":
+            n = np.frombuffer(f.read(4), "<u4")[0]
+            data = np.frombuffer(f.read(), "<f4")
+            pts, fv = [], [0]
+            i = 0
+            while i + 2 < len(data) and len(pts) < n:
+                if np.isinf(data[i]):        # +inf marks a new strand
+                    fv.append(len(pts))
+                    i += 1
+                else:
+                    pts.append(data[i:i + 3])
+                    i += 3
+            fv.append(len(pts))
+            fv = [x for k, x in enumerate(fv)
+                  if k == 0 or x != fv[k - 1]]
+            return hair(np.asarray(pts), np.asarray(fv), radius, sides)
+    # ASCII
+    pts, fv = [], [0]
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                if len(pts) > fv[-1]:
+                    fv.append(len(pts))
+                continue
+            pts.append([float(x) for x in line.split()[:3]])
+    if len(pts) > fv[-1]:
+        fv.append(len(pts))
+    return hair(np.asarray(pts), np.asarray(fv), radius, sides)
+
+
+@dataclass
+class ShapeGroup:
+    """Named reusable geometry group (ref: src/shapes/shapegroup.h:34 —
+    there a nested kd-tree; here a list of (mesh, to_object, material)
+    triplets instanced at compile time)."""
+    parts: list = field(default_factory=list)   # (Mesh, transform, mat)
+
+    def add(self, mesh: Mesh, to_group=None, material: int = 0):
+        eye = np.eye(4) if to_group is None else np.asarray(to_group)
+        self.parts.append((mesh, eye, material))
+        return self
+
+
+def instance(group: ShapeGroup, to_world: np.ndarray):
+    """Instantiate a shape group (ref: src/shapes/instance.h:27). Static
+    compile-time instancing: every instance re-emits the group's
+    triangles under its transform. A TLAS/BLAS two-level intersector is
+    the planned upgrade for ray-time instancing (ARCHITECTURE.md);
+    semantically this covers the plugin's behavior for static scenes.
+
+    Returns [(mesh, combined_transform, material), ...] ready for
+    SceneDesc.add_shape.
+    """
+    return [(mesh, np.asarray(to_world) @ t, mat)
+            for (mesh, t, mat) in group.parts]

@@ -224,3 +224,72 @@ class SphericalCamera(_HashableByValue):
     @property
     def n_pixels(self):
         return self.width * self.height
+
+
+@dataclass(frozen=True, eq=False)
+class TelecentricCamera(_HashableByValue):
+    """Telecentric lens sensor (ref: src/sensors/telecentric.cpp):
+    orthographic projection with a finite aperture — parallel chief rays,
+    depth of field around focus_distance."""
+    width: int = 256
+    height: int = 256
+    to_world: np.ndarray = field(default_factory=tf.identity)
+    aperture_radius: float = 0.0
+    focus_distance: float = 1.0
+
+    def sample_ray(self, pixel_xy, aperture_uv=None):
+        from ..core.warp import square_to_uniform_disk_concentric
+        r = jnp.asarray(self.to_world[:3, :3], jnp.float32)
+        t = jnp.asarray(self.to_world[:3, 3], jnp.float32)
+        x = 1.0 - (pixel_xy[..., 0] / self.width) * 2.0
+        y = 1.0 - (pixel_xy[..., 1] / self.height) * 2.0
+        o_local = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+        d_local = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                   o_local.shape)
+        if self.aperture_radius > 0.0 and aperture_uv is not None:
+            focus = o_local + d_local * self.focus_distance
+            lens = square_to_uniform_disk_concentric(aperture_uv) \
+                * self.aperture_radius
+            o_local = o_local + jnp.stack(
+                [lens[..., 0], lens[..., 1],
+                 jnp.zeros_like(lens[..., 0])], axis=-1)
+            d_local = focus - o_local
+        return o_local @ r.T + t, normalize(d_local @ r.T)
+
+    @property
+    def n_pixels(self):
+        return self.width * self.height
+
+
+@dataclass(frozen=True, eq=False)
+class PerspectiveRDistCamera(_HashableByValue):
+    """Perspective sensor with polynomial radial distortion (ref:
+    src/sensors/perspective_rdist.cpp, kc two-term Brown model): the
+    normalized image point is scaled by 1 + kc0·r² + kc1·r⁴ before the
+    ray is formed — matching the reference's calibration convention."""
+    width: int = 256
+    height: int = 256
+    fov_x: float = 39.0
+    to_world: np.ndarray = field(default_factory=tf.identity)
+    kc0: float = 0.0
+    kc1: float = 0.0
+
+    def sample_ray(self, pixel_xy, aperture_uv=None):
+        tan_half = np.tan(np.radians(self.fov_x) / 2.0)
+        aspect = self.height / self.width
+        r = jnp.asarray(self.to_world[:3, :3], jnp.float32)
+        t = jnp.asarray(self.to_world[:3, 3], jnp.float32)
+        ndc_x = 1.0 - (pixel_xy[..., 0] / self.width) * 2.0
+        ndc_y = 1.0 - (pixel_xy[..., 1] / self.height) * 2.0
+        dx = ndc_x * tan_half
+        dy = ndc_y * tan_half * aspect
+        r2 = dx * dx + dy * dy
+        factor = 1.0 + self.kc0 * r2 + self.kc1 * r2 * r2
+        d_local = jnp.stack([dx * factor, dy * factor,
+                             jnp.ones_like(dx)], axis=-1)
+        o_world = jnp.broadcast_to(t, d_local.shape)
+        return o_world, normalize(d_local @ r.T)
+
+    @property
+    def n_pixels(self):
+        return self.width * self.height
