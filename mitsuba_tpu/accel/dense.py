@@ -43,16 +43,22 @@ def build_woop(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     triangles (zero-area) get transforms that can never produce a hit.
     """
     t = p0.shape[0]
-    n = np.cross(e1, e2)
-    m = np.stack([e1, e2, n], axis=-1)          # [T, 3, 3] columns e1,e2,n
-    area2 = np.linalg.norm(n, axis=-1)
-    good = area2 > 1e-18
-    m_safe = np.where(good[:, None, None], m, np.eye(3)[None])
-    minv = np.linalg.inv(m_safe)                 # [T, 3, 3]
-    # Degenerate: map all rays to "parallel" (d'_z = 0, o'_z = 1)
-    minv = np.where(good[:, None, None], minv, 0.0)
-    trans = -np.einsum("tij,tj->ti", minv, p0)   # [T, 3]
-    trans = np.where(good[:, None], trans, np.array([0.0, 0.0, 1.0]))
+    from .. import native
+    nat = native.woop_invert(p0, e1, e2) if native.available() else None
+    if nat is not None:
+        minv, trans = nat
+    else:
+        n = np.cross(e1, e2)
+        m = np.stack([e1, e2, n], axis=-1)      # [T, 3, 3] cols e1,e2,n
+        area2 = np.linalg.norm(n, axis=-1)
+        good = area2 > 1e-18
+        m_safe = np.where(good[:, None, None], m, np.eye(3)[None])
+        minv = np.linalg.inv(m_safe)             # [T, 3, 3]
+        # Degenerate: map all rays to "parallel" (d'_z = 0, o'_z = 1)
+        minv = np.where(good[:, None, None], minv, 0.0)
+        trans = -np.einsum("tij,tj->ti", minv, p0)   # [T, 3]
+        trans = np.where(good[:, None], trans,
+                         np.array([0.0, 0.0, 1.0]))
 
     # Pack: out[n, 3t+k] = sum_j in[n, j] * W[j, 3t+k]
     # woop_d[j, 3t+k] = minv[t, k, j];  woop_o adds the affine row

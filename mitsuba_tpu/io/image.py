@@ -165,6 +165,10 @@ def write_image(path: str, img) -> None:
         write_npy(path, img)
     elif low.endswith((".png", ".jpg", ".jpeg")):
         write_png(path, img)
+    elif low.endswith(".m"):
+        write_m(path, img)
+    elif low.endswith(".hdr"):
+        write_hdr(path, img)
     else:
         raise ValueError(f"unsupported image format: {path}")
 
@@ -178,6 +182,8 @@ def read_image(path: str) -> np.ndarray:
         return read_exr(path)
     if low.endswith(".pfm"):
         return read_pfm(path)
+    if low.endswith(".hdr"):
+        return read_hdr(path)
     if low.endswith(".npy"):
         img = np.load(path).astype(np.float32)
     else:
@@ -189,3 +195,120 @@ def read_image(path: str) -> np.ndarray:
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
     return img.astype(np.float32)
+
+
+def write_m(path: str, img: np.ndarray):
+    """MATLAB .m export (ref: src/films/mfilm.cpp `matlab` mode): one
+    matrix per channel, loadable with `run`."""
+    img = np.asarray(img, np.float64)
+    if img.ndim == 2:
+        img = img[..., None]
+    names = ["r", "g", "b"][:img.shape[-1]]
+    with open(path, "w") as f:
+        for c, name in enumerate(names):
+            rows = ";\n".join(
+                ", ".join(f"{v:.8g}" for v in row)
+                for row in img[..., c])
+            f.write(f"{name} = [\n{rows}];\n")
+
+
+def write_mathematica(path: str, img: np.ndarray):
+    """Mathematica list export (ref: mfilm.cpp `mathematica` mode)."""
+    img = np.asarray(img, np.float64)
+    if img.ndim == 2:
+        img = img[..., None]
+
+    def fmt(a):
+        if a.ndim == 0:
+            return f"{float(a):.8g}".replace("e", "*^")
+        return "{" + ", ".join(fmt(x) for x in a) + "}"
+    with open(path, "w") as f:
+        f.write(fmt(img))
+
+
+def write_hdr(path: str, img: np.ndarray):
+    """Radiance RGBE .hdr writer (ref: Bitmap ERGBE, bitmap.cpp) — RLE
+    scanlines via the native codec, flat scanlines as Python fallback."""
+    img = np.ascontiguousarray(np.asarray(img, np.float32)[..., :3])
+    h, w = img.shape[:2]
+    header = (b"#?RADIANCE\n# written by mitsuba_tpu\n"
+              b"FORMAT=32-bit_rle_rgbe\n\n"
+              + f"-Y {h} +X {w}\n".encode())
+    from .. import native
+    data = native.rgbe_encode(img) if native.available() else None
+    if data is None:
+        data = _rgbe_encode_py(img)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(data)
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE .hdr reader (RLE + old-style scanlines)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(b"#?"):
+        raise ValueError("not a Radiance file")
+    # header ends at the first blank line; the next line is the size
+    head_end = blob.index(b"\n\n")
+    size_end = blob.index(b"\n", head_end + 2)
+    dims = blob[head_end + 2:size_end].split()
+    if dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError(f"unsupported orientation {dims}")
+    h, w = int(dims[1]), int(dims[3])
+    data = blob[size_end + 1:]
+    from .. import native
+    if native.available():
+        return native.rgbe_decode(data, w, h)
+    return _rgbe_decode_py(data, w, h)
+
+
+def _rgbe_encode_py(img: np.ndarray) -> bytes:
+    """Flat (non-RLE) RGBE scanlines — numpy vectorized fallback."""
+    h, w = img.shape[:2]
+    v = img.max(axis=-1)
+    m, e = np.frexp(v)
+    scale = np.where(v >= 1e-32, m * 256.0 / np.maximum(v, 1e-32), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = (img * scale[..., None]).astype(np.uint8)
+    rgbe[..., 3] = np.where(v >= 1e-32, e + 128, 0).astype(np.uint8)
+    return rgbe.tobytes()
+
+
+def _rgbe_decode_py(data: bytes, w: int, h: int) -> np.ndarray:
+    buf = np.frombuffer(data, np.uint8)
+    if len(buf) == h * w * 4:                 # flat scanlines
+        rgbe = buf.reshape(h, w, 4).astype(np.float32)
+        f = np.exp2(rgbe[..., 3] - (128 + 8))
+        img = rgbe[..., :3] * np.where(rgbe[..., 3:4] > 0, f[..., None],
+                                       0.0)
+        return img.astype(np.float32)
+    # RLE decode, per scanline (slow path)
+    img = np.zeros((h, w, 3), np.float32)
+    pos = 0
+    for y in range(h):
+        if buf[pos] == 2 and buf[pos + 1] == 2:
+            pos += 4
+            line = np.zeros((w, 4), np.uint8)
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = int(buf[pos]); pos += 1
+                    if n > 128:
+                        line[x:x + n - 128, c] = buf[pos]
+                        pos += 1
+                        x += n - 128
+                    else:
+                        line[x:x + n, c] = buf[pos:pos + n]
+                        pos += n
+                        x += n
+            f = np.exp2(line[:, 3].astype(np.float32) - (128 + 8))
+            img[y] = line[:, :3].astype(np.float32) * np.where(
+                line[:, 3:4] > 0, f[:, None], 0.0)
+        else:
+            line = buf[pos:pos + w * 4].reshape(w, 4)
+            pos += w * 4
+            f = np.exp2(line[:, 3].astype(np.float32) - (128 + 8))
+            img[y] = line[:, :3].astype(np.float32) * np.where(
+                line[:, 3:4] > 0, f[:, None], 0.0)
+    return img

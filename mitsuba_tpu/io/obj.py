@@ -26,7 +26,20 @@ def load_obj(path: str, split_groups: bool = True):
 
     materials maps mtl names to {'kd': rgb, 'ks': rgb, 'ns': float,
     'map_kd': path or None} — the caller translates to Material configs.
+
+    Uses the native C++ parser when available (mitsuba_tpu/native — the
+    host-side hot path, as obj.cpp is in the reference) with this Python
+    implementation as the fallback; both produce identical meshes
+    (tests/test_native.py).
     """
+    from .. import native
+    if native.available():
+        with open(path, "rb") as f:
+            raw = f.read()
+        parsed = native.parse_obj(raw)
+        if parsed is not None:
+            return _from_native(parsed, raw, path, split_groups)
+
     positions, normals, uvs = [], [], []
     # per-group face lists: (pos_idx, uv_idx, n_idx) triples
     groups: dict[str, list] = {}
@@ -131,3 +144,40 @@ def _load_mtl(path: str):
             elif tag == "map_kd":
                 mats[cur]["map_kd"] = parts[-1]
     return mats
+
+
+def _from_native(parsed, raw: bytes, path: str, split_groups: bool):
+    """Assemble ObjGroups from the native parser's flat arrays with
+    vectorized (v, t, n)-combo re-indexing — semantics identical to the
+    Python path above."""
+    verts, norms, uvs, tv, tt, tn, gid, names = parsed
+    out = []
+    group_ids = (sorted(set(gid.tolist())) if split_groups
+                 else [None])
+    for g in group_ids:
+        sel = slice(None) if g is None else (gid == g)
+        fv, ft, fn = tv[sel], tt[sel], tn[sel]
+        if len(fv) == 0:
+            continue
+        combos = np.stack([fv, ft, fn], axis=-1).reshape(-1, 3)
+        uniq, inv = np.unique(combos, axis=0, return_inverse=True)
+        faces = inv.reshape(-1, 3).astype(np.int64)
+        v_out = verts[uniq[:, 0]]
+        has_uv = (uniq[:, 1] >= 0).all() and len(uvs)
+        has_n = (uniq[:, 2] >= 0).all() and len(norms)
+        mesh = Mesh(
+            vertices=v_out, faces=faces,
+            normals=norms[uniq[:, 2]] if has_n else None,
+            uvs=uvs[uniq[:, 1]] if has_uv else None)
+        name = None if g is None or names[g] == "default" else names[g]
+        out.append(ObjGroup(mesh, name))
+
+    materials = {}
+    base = os.path.dirname(path)
+    for line in raw.decode("utf-8", "replace").splitlines():
+        parts = line.strip().split()
+        if len(parts) > 1 and parts[0] == "mtllib":
+            mp = os.path.join(base, parts[1])
+            if os.path.exists(mp):
+                materials.update(_load_mtl(mp))
+    return out, materials

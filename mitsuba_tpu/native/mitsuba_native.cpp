@@ -1,0 +1,401 @@
+// Native runtime components for mitsuba_tpu.
+//
+// The reference keeps its hot host-side paths in C++ (mesh parsing in
+// src/shapes/obj.cpp, image codecs in src/libcore/bitmap.cpp); the TPU
+// build does the same for the host-side loaders that feed scene
+// compilation — the device compute path stays JAX/XLA/Pallas. Exposed
+// through a small C ABI consumed by ctypes (mitsuba_tpu/native/__init__.py)
+// with pure-Python fallbacks when no compiler is available.
+//
+// Components:
+//  * Wavefront OBJ parser (two-pass: count then fill; fan triangulation,
+//    negative-index resolution, usemtl group ids) — ref: obj.cpp
+//  * Radiance RGBE (.hdr) codec, old-style + RLE scanlines — the Bitmap
+//    ERGBE format (ref: bitmap.cpp writeRGBE/readRGBE)
+//  * Woop triangle-transform packing (the scene compiler's O(T) hot loop)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <cstdlib>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// OBJ parsing
+// ---------------------------------------------------------------------------
+
+// Counts entities in an OBJ buffer. out = {nv, nvn, nvt, ntri, ngroups}.
+// A face with k vertices contributes k-2 triangles (fan).
+void obj_count(const char* text, int64_t len, int64_t* out) {
+    int64_t nv = 0, nvn = 0, nvt = 0, ntri = 0, ngroups = 1;
+    const char* p = text;
+    const char* end = text + len;
+    while (p < end) {
+        // skip leading spaces
+        while (p < end && (*p == ' ' || *p == '\t')) p++;
+        if (p + 1 < end && p[0] == 'v') {
+            if (p[1] == ' ' || p[1] == '\t') nv++;
+            else if (p[1] == 'n') nvn++;
+            else if (p[1] == 't') nvt++;
+        } else if (p < end && p[0] == 'f') {
+            int verts = 0;
+            const char* q = p + 1;
+            while (q < end && *q != '\n') {
+                while (q < end && (*q == ' ' || *q == '\t')) q++;
+                if (q < end && *q != '\n' && *q != '\r') {
+                    verts++;
+                    while (q < end && *q != ' ' && *q != '\t' && *q != '\n')
+                        q++;
+                }
+            }
+            if (verts >= 3) ntri += verts - 2;
+        } else if (p + 5 < end && strncmp(p, "usemtl", 6) == 0) {
+            ngroups++;
+        }
+        while (p < end && *p != '\n') p++;
+        p++;
+    }
+    out[0] = nv; out[1] = nvn; out[2] = nvt; out[3] = ntri;
+    out[4] = ngroups;
+}
+
+static inline const char* skip_ws(const char* p, const char* end) {
+    while (p < end && (*p == ' ' || *p == '\t')) p++;
+    return p;
+}
+
+static inline const char* parse_double(const char* p, const char* end,
+                                       double* out) {
+    char* q;
+    *out = strtod(p, &q);
+    (void)end;
+    return q;
+}
+
+// Fills pre-allocated arrays. Faces are triangulated; missing uv/normal
+// indices are -1. group_id[t] indexes the usemtl group of triangle t;
+// group name offsets are written as byte ranges into `text`
+// (gname_beg/gname_end, capacity = ngroups from obj_count).
+// Returns the number of groups actually used.
+int64_t obj_parse(const char* text, int64_t len,
+                  double* verts, double* norms, double* uvs,
+                  int64_t* tri_v, int64_t* tri_t, int64_t* tri_n,
+                  int32_t* group_id,
+                  int64_t* gname_beg, int64_t* gname_end) {
+    const char* p = text;
+    const char* end = text + len;
+    int64_t iv = 0, ivn = 0, ivt = 0, itri = 0;
+    int64_t ngroups = 1;
+    int32_t cur_group = 0;
+    gname_beg[0] = 0; gname_end[0] = 0;   // "default"
+    // counts needed to resolve negative indices
+    int64_t cv = 0, cvt = 0, cvn = 0;
+
+    while (p < end) {
+        p = skip_ws(p, end);
+        const char* line_end = p;
+        while (line_end < end && *line_end != '\n') line_end++;
+
+        if (p + 1 < end && p[0] == 'v' &&
+            (p[1] == ' ' || p[1] == '\t')) {
+            const char* q = p + 1;
+            for (int k = 0; k < 3; k++) {
+                q = skip_ws(q, line_end);
+                q = parse_double(q, line_end, &verts[iv * 3 + k]);
+            }
+            iv++; cv++;
+        } else if (p + 2 < end && p[0] == 'v' && p[1] == 'n') {
+            const char* q = p + 2;
+            for (int k = 0; k < 3; k++) {
+                q = skip_ws(q, line_end);
+                q = parse_double(q, line_end, &norms[ivn * 3 + k]);
+            }
+            ivn++; cvn++;
+        } else if (p + 2 < end && p[0] == 'v' && p[1] == 't') {
+            const char* q = p + 2;
+            for (int k = 0; k < 2; k++) {
+                q = skip_ws(q, line_end);
+                q = parse_double(q, line_end, &uvs[ivt * 2 + k]);
+            }
+            ivt++; cvt++;
+        } else if (p < end && p[0] == 'f' &&
+                   (p + 1 >= end || p[1] == ' ' || p[1] == '\t')) {
+            // gather up to 64 corners: v/vt/vn triples
+            int64_t fv[64], ft[64], fn[64];
+            int corners = 0;
+            const char* q = p + 1;
+            while (q < line_end && corners < 64) {
+                q = skip_ws(q, line_end);
+                if (q >= line_end || *q == '\r') break;
+                char* r;
+                int64_t a = strtoll(q, &r, 10);
+                int64_t b = 0, c = 0;
+                bool has_t = false, has_n = false;
+                if (*r == '/') {
+                    r++;
+                    if (*r != '/') {
+                        b = strtoll(r, &r, 10);
+                        has_t = true;
+                    }
+                    if (*r == '/') {
+                        r++;
+                        c = strtoll(r, &r, 10);
+                        has_n = true;
+                    }
+                }
+                fv[corners] = a > 0 ? a - 1 : cv + a;
+                ft[corners] = has_t ? (b > 0 ? b - 1 : cvt + b) : -1;
+                fn[corners] = has_n ? (c > 0 ? c - 1 : cvn + c) : -1;
+                corners++;
+                q = r;
+            }
+            for (int k = 1; k + 1 < corners; k++) {
+                tri_v[itri * 3 + 0] = fv[0];
+                tri_v[itri * 3 + 1] = fv[k];
+                tri_v[itri * 3 + 2] = fv[k + 1];
+                tri_t[itri * 3 + 0] = ft[0];
+                tri_t[itri * 3 + 1] = ft[k];
+                tri_t[itri * 3 + 2] = ft[k + 1];
+                tri_n[itri * 3 + 0] = fn[0];
+                tri_n[itri * 3 + 1] = fn[k];
+                tri_n[itri * 3 + 2] = fn[k + 1];
+                group_id[itri] = cur_group;
+                itri++;
+            }
+        } else if (p + 6 < end && strncmp(p, "usemtl", 6) == 0) {
+            const char* q = skip_ws(p + 6, line_end);
+            const char* name_end = line_end;
+            while (name_end > q && (name_end[-1] == '\r'
+                   || name_end[-1] == ' ')) name_end--;
+            gname_beg[ngroups] = q - text;
+            gname_end[ngroups] = name_end - text;
+            cur_group = (int32_t)ngroups;
+            ngroups++;
+        }
+        p = line_end + 1;
+    }
+    return ngroups;
+}
+
+// ---------------------------------------------------------------------------
+// Radiance RGBE (.hdr) codec — ref: Bitmap ERGBE (bitmap.cpp)
+// ---------------------------------------------------------------------------
+
+static inline void float2rgbe(const float* rgb, uint8_t* rgbe) {
+    float v = rgb[0];
+    if (rgb[1] > v) v = rgb[1];
+    if (rgb[2] > v) v = rgb[2];
+    if (v < 1e-32f) {
+        rgbe[0] = rgbe[1] = rgbe[2] = rgbe[3] = 0;
+    } else {
+        int e;
+        float m = frexpf(v, &e);
+        float scale = m * 256.0f / v;
+        rgbe[0] = (uint8_t)(rgb[0] * scale);
+        rgbe[1] = (uint8_t)(rgb[1] * scale);
+        rgbe[2] = (uint8_t)(rgb[2] * scale);
+        rgbe[3] = (uint8_t)(e + 128);
+    }
+}
+
+static inline void rgbe2float(const uint8_t* rgbe, float* rgb) {
+    if (rgbe[3]) {
+        float f = ldexpf(1.0f, (int)rgbe[3] - (128 + 8));
+        rgb[0] = rgbe[0] * f;
+        rgb[1] = rgbe[1] * f;
+        rgb[2] = rgbe[2] * f;
+    } else {
+        rgb[0] = rgb[1] = rgb[2] = 0.0f;
+    }
+}
+
+// Encode [h, w, 3] float RGB to RLE RGBE scanline data. `out` must hold
+// at least h * (4 + w * 8) bytes; returns the byte count written.
+int64_t rgbe_encode(const float* img, int64_t w, int64_t h, uint8_t* out) {
+    uint8_t* o = out;
+    for (int64_t y = 0; y < h; y++) {
+        // new-style RLE scanline header
+        *o++ = 2; *o++ = 2;
+        *o++ = (uint8_t)(w >> 8); *o++ = (uint8_t)(w & 0xff);
+        // build the 4 planes
+        for (int c = 0; c < 4; c++) {
+            int64_t x = 0;
+            while (x < w) {
+                // find a run of >= 4 equal bytes
+                uint8_t px[4];
+                int64_t run_start = x, run_len = 0;
+                uint8_t run_val = 0;
+                for (int64_t i = x; i < w; i++) {
+                    float2rgbe(&img[(y * w + i) * 3], px);
+                    uint8_t v = px[c];
+                    if (run_len == 0 || v != run_val) {
+                        run_start = i; run_val = v; run_len = 1;
+                    } else if (++run_len >= 4) {
+                        break;
+                    }
+                }
+                if (run_len >= 4) {
+                    // literal up to run_start, then the run
+                    int64_t lit = run_start - x;
+                    while (lit > 0) {
+                        int64_t n = lit > 128 ? 128 : lit;
+                        *o++ = (uint8_t)n;
+                        for (int64_t i = 0; i < n; i++) {
+                            float2rgbe(&img[(y * w + x + i) * 3], px);
+                            *o++ = px[c];
+                        }
+                        x += n; lit -= n;
+                    }
+                    // extend the run as far as it goes
+                    int64_t rl = 0;
+                    while (x + rl < w) {
+                        float2rgbe(&img[(y * w + x + rl) * 3], px);
+                        if (px[c] != run_val) break;
+                        rl++;
+                    }
+                    while (rl > 0) {
+                        int64_t n = rl > 127 ? 127 : rl;
+                        *o++ = (uint8_t)(128 + n);
+                        *o++ = run_val;
+                        x += n; rl -= n;
+                    }
+                } else {
+                    // literal to end of scanline
+                    int64_t lit = w - x;
+                    while (lit > 0) {
+                        int64_t n = lit > 128 ? 128 : lit;
+                        *o++ = (uint8_t)n;
+                        for (int64_t i = 0; i < n; i++) {
+                            float2rgbe(&img[(y * w + x + i) * 3], px);
+                            *o++ = px[c];
+                        }
+                        x += n; lit -= n;
+                    }
+                }
+            }
+        }
+    }
+    return o - out;
+}
+
+// Decode RGBE scanline data (RLE or flat) into [h, w, 3] floats.
+// Returns 0 on success.
+int32_t rgbe_decode(const uint8_t* data, int64_t len, int64_t w, int64_t h,
+                    float* img) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    uint8_t* line = (uint8_t*)malloc((size_t)w * 4);
+    if (!line) return -2;
+    for (int64_t y = 0; y < h; y++) {
+        if (p + 4 > end) { free(line); return -1; }
+        if (p[0] == 2 && p[1] == 2 && ((p[2] << 8) | p[3]) == w) {
+            p += 4;
+            for (int c = 0; c < 4; c++) {
+                int64_t x = 0;
+                while (x < w) {
+                    if (p >= end) { free(line); return -1; }
+                    int n = *p++;
+                    if (n > 128) {
+                        n -= 128;
+                        if (p >= end || x + n > w) {
+                            free(line); return -1;
+                        }
+                        memset(line + x * 4 + c, 0, 0);
+                        uint8_t v = *p++;
+                        for (int i = 0; i < n; i++)
+                            line[(x + i) * 4 + c] = v;
+                        x += n;
+                    } else {
+                        if (p + n > end || x + n > w) {
+                            free(line); return -1;
+                        }
+                        for (int i = 0; i < n; i++)
+                            line[(x + i) * 4 + c] = *p++;
+                        x += n;
+                    }
+                }
+            }
+            for (int64_t x = 0; x < w; x++)
+                rgbe2float(&line[x * 4], &img[(y * w + x) * 3]);
+        } else {
+            // old-style flat scanline (with possible +exp repeats)
+            int64_t x = 0;
+            int shift = 0;
+            while (x < w) {
+                if (p + 4 > end) { free(line); return -1; }
+                if (p[0] == 1 && p[1] == 1 && p[2] == 1) {
+                    int64_t n = (int64_t)p[3] << shift;
+                    if (x == 0 || x + n > w) { free(line); return -1; }
+                    for (int64_t i = 0; i < n; i++) {
+                        memcpy(&img[(y * w + x + i) * 3],
+                               &img[(y * w + x - 1) * 3],
+                               3 * sizeof(float));
+                    }
+                    x += n; shift += 8; p += 4;
+                } else {
+                    rgbe2float(p, &img[(y * w + x) * 3]);
+                    x++; shift = 0; p += 4;
+                }
+            }
+        }
+    }
+    free(line);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Woop transform packing — scene-compile hot loop
+// (accel/dense.py build_woop semantics: affine transform mapping each
+// world triangle to the canonical unit triangle)
+// ---------------------------------------------------------------------------
+
+// For each triangle (p0, e1, e2): invert M = [e1 e2 n] (columns) and
+// compute trans = -M⁻¹·p0 — the per-triangle hot loop of build_woop
+// (accel/dense.py:39; Python side does the final [4,3T]/[3,3T] packing).
+// Degenerate triangles (|n| ≤ 1e-18, the padded far-away soup) get
+// minv = 0, trans = (0, 0, 1): rays map to "parallel, no hit".
+// out: minv [T, 9] row-major (minv[t][i][j]), trans [T, 3].
+int32_t woop_invert(const double* p0, const double* e1, const double* e2,
+                    int64_t t_count, double* minv, double* trans) {
+    for (int64_t t = 0; t < t_count; t++) {
+        const double* a = &e1[t * 3];
+        const double* b = &e2[t * 3];
+        const double* o = &p0[t * 3];
+        double n[3] = {a[1] * b[2] - a[2] * b[1],
+                       a[2] * b[0] - a[0] * b[2],
+                       a[0] * b[1] - a[1] * b[0]};
+        double n2 = n[0] * n[0] + n[1] * n[1] + n[2] * n[2];
+        double* mi = &minv[t * 9];
+        double* tr = &trans[t * 3];
+        if (n2 <= 1e-36) {                 // |n| <= 1e-18
+            for (int k = 0; k < 9; k++) mi[k] = 0.0;
+            tr[0] = 0.0; tr[1] = 0.0; tr[2] = 1.0;
+            continue;
+        }
+        // M columns are (e1, e2, n): m[r][c]
+        double m[9] = {a[0], b[0], n[0],
+                       a[1], b[1], n[1],
+                       a[2], b[2], n[2]};
+        double det = m[0] * (m[4] * m[8] - m[5] * m[7])
+                   - m[1] * (m[3] * m[8] - m[5] * m[6])
+                   + m[2] * (m[3] * m[7] - m[4] * m[6]);
+        double id = 1.0 / det;
+        mi[0] = (m[4] * m[8] - m[5] * m[7]) * id;
+        mi[1] = (m[2] * m[7] - m[1] * m[8]) * id;
+        mi[2] = (m[1] * m[5] - m[2] * m[4]) * id;
+        mi[3] = (m[5] * m[6] - m[3] * m[8]) * id;
+        mi[4] = (m[0] * m[8] - m[2] * m[6]) * id;
+        mi[5] = (m[2] * m[3] - m[0] * m[5]) * id;
+        mi[6] = (m[3] * m[7] - m[4] * m[6]) * id;
+        mi[7] = (m[1] * m[6] - m[0] * m[7]) * id;
+        mi[8] = (m[0] * m[4] - m[1] * m[3]) * id;
+        for (int r = 0; r < 3; r++)
+            tr[r] = -(mi[r * 3] * o[0] + mi[r * 3 + 1] * o[1]
+                      + mi[r * 3 + 2] * o[2]);
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -166,6 +166,19 @@ class SpotLight:
 
 
 @dataclass
+class CollimatedLight:
+    """Collimated beam emitter (ref: src/emitters/collimated.cpp — a
+    zero-radius parallel beam carrying `power` watts). Compiled as a
+    sub-degree spot from the beam origin (half-angle 0.25°): the
+    delta-delta beam only matters inside participating media, where the
+    narrow cone is an accurate, samplable stand-in."""
+    position: Sequence[float]
+    direction: Sequence[float]
+    power: Sequence[float] = (1.0, 1.0, 1.0)
+    sampling_weight: float = 1.0
+
+
+@dataclass
 class DirectionalLight:
     """Delta directional emitter (ref: src/emitters/directional.cpp).
     direction = direction light TRAVELS; irradiance in W/m²."""
@@ -211,6 +224,7 @@ class SceneDesc:
     shapes: list = field(default_factory=list)
     point_lights: list = field(default_factory=list)
     spot_lights: list = field(default_factory=list)
+    collimated_lights: list = field(default_factory=list)
     directional_lights: list = field(default_factory=list)
     constant_light: Optional[ConstantLight] = None
     envmap: Optional[EnvmapLight] = None
@@ -367,6 +381,20 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
                 dirn, [np.cos(np.radians(sl.cutoff_angle)),
                        np.cos(np.radians(sl.beam_width))],
                 np.zeros(3)])})
+        em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
+    for cl in getattr(desc, "collimated_lights", []):
+        dirn = np.asarray(cl.direction, np.float64)
+        dirn = dirn / np.linalg.norm(dirn)
+        half = np.radians(0.25)
+        solid = 2.0 * np.pi * (1.0 - np.cos(half))
+        intensity = np.asarray(cl.power, np.float64) / solid
+        emitters.append({
+            "type": S.EM_SPOT,
+            "radiance": intensity,
+            "pos": np.asarray(cl.position, np.float64),
+            "area": 0.0, "weight": cl.sampling_weight,
+            "aux": np.concatenate([
+                dirn, [np.cos(half), np.cos(half * 0.9)], np.zeros(3)])})
         em_tri_lists.append((np.zeros(0, np.int64), np.zeros(0)))
     for dl in desc.directional_lights:
         dirn = np.asarray(dl.direction, np.float64)

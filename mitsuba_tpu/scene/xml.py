@@ -462,6 +462,7 @@ def load_xml(path: str, parameters: dict | None = None,
             if tr is not None:
                 to_world = _parse_transform(tr, params)
             mesh = None
+            obj_groups = None           # (mesh, material_idx) pairs
             if stype in _SHAPE_BUILDERS:
                 mesh = _SHAPE_BUILDERS[stype](p, base)
                 if stype == "sphere":
@@ -470,9 +471,35 @@ def load_xml(path: str, parameters: dict | None = None,
                     to_world = to_world @ tfm.translate(c) @ tfm.scale(r)
             elif stype == "obj":
                 from ..io.obj import load_obj
-                groups, _ = load_obj(os.path.join(base, p["filename"]),
-                                     split_groups=False)
-                mesh = groups[0].mesh
+                has_bsdf = (elem.find("bsdf") is not None
+                            or elem.find("ref") is not None)
+                if has_bsdf:
+                    groups, _ = load_obj(
+                        os.path.join(base, p["filename"]),
+                        split_groups=False)
+                    mesh = groups[0].mesh
+                else:
+                    # no explicit BSDF: map MTL materials to BSDFs per
+                    # group (ref: obj.cpp addMaterial Kd/Ks/Ns handling)
+                    groups, mtls = load_obj(
+                        os.path.join(base, p["filename"]))
+                    obj_groups = []
+                    mtl_ids: dict = {}
+                    for g in groups:
+                        name = g.material_name
+                        if name not in mtl_ids:
+                            md = mtls.get(name)
+                            if md is None:
+                                mtl_ids[name] = desc.add_material()
+                            elif max(md["ks"]) > 0 and md["ns"] > 1:
+                                mtl_ids[name] = desc.add_material(
+                                    kind="phong", albedo=md["kd"],
+                                    specular_reflectance=md["ks"],
+                                    exponent=md["ns"])
+                            else:
+                                mtl_ids[name] = desc.add_material(
+                                    kind="diffuse", albedo=md["kd"])
+                        obj_groups.append((g.mesh, mtl_ids[name]))
             elif stype == "ply":
                 from ..io.ply import load_ply
                 mesh = load_ply(os.path.join(base, p["filename"]))
@@ -499,9 +526,15 @@ def load_xml(path: str, parameters: dict | None = None,
             if e_el is not None and e_el.get("type") == "area":
                 ep = _props(e_el, params)
                 radiance = ep.get("radiance", [1.0, 1.0, 1.0])
-            desc.add_shape(mesh, to_world=to_world, material=mat,
-                           radiance=radiance,
-                           flip_normals=bool(p.get("flipNormals", False)))
+            flip = bool(p.get("flipNormals", False))
+            if obj_groups is not None:
+                for gmesh, gmat in obj_groups:
+                    desc.add_shape(gmesh, to_world=to_world,
+                                   material=gmat, radiance=radiance,
+                                   flip_normals=flip)
+            else:
+                desc.add_shape(mesh, to_world=to_world, material=mat,
+                               radiance=radiance, flip_normals=flip)
         elif tag == "emitter":
             etype = elem.get("type")
             p = _props(elem, params)

@@ -293,3 +293,27 @@ class PerspectiveRDistCamera(_HashableByValue):
     @property
     def n_pixels(self):
         return self.width * self.height
+
+
+@dataclass(frozen=True, eq=False)
+class FluenceMeter(_HashableByValue):
+    """Fluence probe (ref: src/sensors/fluencemeter.cpp): integrates
+    radiance over the FULL sphere at to_world's origin; the 1×1 film
+    average times 4π estimates the fluence φ(p)."""
+    width: int = 1
+    height: int = 1
+    to_world: np.ndarray = field(default_factory=tf.identity)
+
+    def sample_ray(self, pixel_xy, aperture_uv=None):
+        from ..core.warp import square_to_uniform_sphere
+        t = jnp.asarray(self.to_world[:3, 3], jnp.float32)
+        n = pixel_xy.shape[0]
+        u = aperture_uv if aperture_uv is not None else \
+            jnp.zeros((n, 2)) + 0.5
+        d = square_to_uniform_sphere(u)
+        o = jnp.broadcast_to(t, (n, 3))
+        return o, d
+
+    @property
+    def n_pixels(self):
+        return 1
