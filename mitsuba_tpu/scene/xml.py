@@ -59,6 +59,9 @@ class LoadedScene:
         from ..integrator.path import PathTracer
         from ..integrator.photonmap import PhotonMapper
         from ..integrator.prb import PRBPathTracer
+        from ..integrator.dipole import DipoleIntegrator
+        from ..integrator.erpt import ERPT
+        from ..integrator.irrcache import IrrCacheIntegrator
         from ..integrator.pssmlt import PSSMLT
         from ..integrator.ptracer import ParticleTracer
         from ..integrator.volpath import VolPathTracer
@@ -72,7 +75,7 @@ class LoadedScene:
             return AdaptiveSampler(child=child, **kw)
         cfg.pop("max_error", None)
         cfg.pop("p_value", None)
-        if kind not in ("pssmlt", "mlt"):
+        if kind not in ("pssmlt", "mlt", "erpt"):
             cfg.pop("p_large", None)
         if kind != "vpl":
             cfg.pop("clamping", None)
@@ -87,8 +90,11 @@ class LoadedScene:
                "pssmlt": PSSMLT, "mlt": PSSMLT,   # path-space MLT served
                # by the PSS chain family (libbidir mutators are a non-goal
                # this round; SURVEY §7)
+               "erpt": ERPT,
+               "irrcache": IrrCacheIntegrator,
+               "dipole": DipoleIntegrator,
                "vpl": VPLIntegrator}[kind]
-        if kind in ("pssmlt", "mlt"):
+        if kind in ("pssmlt", "mlt", "erpt"):
             cfg.pop("rr_depth", None)
             cfg.pop("hide_emitters", None)
         return cls(**cfg)

@@ -130,3 +130,50 @@ def grid_texture(color0=(0.2, 0.2, 0.2), color1=(0.4, 0.4, 0.4),
     img = np.where(on[..., None], np.asarray(color0, np.float32),
                    np.asarray(color1, np.float32))
     return img.astype(np.float32)
+
+
+def eval_texture_aniso(scene, tex_id, uv, duv0, duv1, max_aniso=8.0,
+                       probes=5):
+    """Anisotropic lookup from a screen-space uv footprint — the
+    counterpart of TMIPMap's EWA path (ref: mipmap.h:91,296 `evalEWA`).
+
+    duv0/duv1: the footprint's uv derivatives (∂uv/∂x, ∂uv/∂y), [..., 2].
+
+    TPU-native approximation: instead of iterating the texels inside the
+    ellipse (a data-dependent loop), the ellipse is integrated with a
+    FIXED number of Gaussian-weighted trilinear probes along its major
+    axis (footprint assembly, McCormack et al. "Feline", 1999 — the same
+    scheme GPU texture units implement). Each probe is an isotropic
+    lookup at the LOD of the minor axis; anisotropy is clamped to
+    `max_aniso` exactly like the reference's `maxAnisotropy` property.
+    """
+    meta = scene.tex_meta[tex_id * MAX_MIPS]
+    size = jnp.maximum(meta[..., 1], meta[..., 2]).astype(jnp.float32)
+
+    l0 = jnp.sum(duv0 * duv0, axis=-1)
+    l1 = jnp.sum(duv1 * duv1, axis=-1)
+    major_is_0 = l0 >= l1
+    maj2 = jnp.where(major_is_0, l0, l1)
+    min2 = jnp.where(major_is_0, l1, l0)
+    major = jnp.sqrt(jnp.maximum(maj2, 1e-20))
+    minor = jnp.sqrt(jnp.maximum(min2, 1e-20))
+    # clamp anisotropy (mipmap.h maxAnisotropy): widen the minor axis
+    ratio = major / jnp.maximum(minor, 1e-10)
+    minor = jnp.where(ratio > max_aniso, major / max_aniso, minor)
+
+    lod = jnp.log2(jnp.maximum(minor * size, 1e-6))
+    lod = jnp.clip(lod, 0.0, MAX_MIPS - 1.0)
+
+    dir_maj = jnp.where(major_is_0[..., None], duv0, duv1)
+    dir_maj = dir_maj / jnp.maximum(major, 1e-10)[..., None]
+
+    # Gaussian-weighted probes spanning [-(1 - minor/major), +...]
+    span = jnp.maximum(major - minor, 0.0)
+    ts = jnp.linspace(-1.0, 1.0, probes)
+    ws = jnp.exp(-2.0 * ts ** 2)
+    ws = ws / ws.sum()
+    out = 0.0
+    for i in range(probes):
+        uv_i = uv + dir_maj * (0.5 * span * ts[i])[..., None]
+        out = out + ws[i] * eval_texture(scene, tex_id, uv_i, lod)
+    return out

@@ -132,3 +132,36 @@ def test_mip_pyramid():
     # energy preserved at every level (box filter)
     for lv in levels:
         assert np.allclose(lv.mean(), levels[0].mean(), atol=1e-5)
+
+
+def test_aniso_filtering_matches_footprint_average():
+    """EWA/Feline anisotropic lookup: a strongly anisotropic footprint
+    over a stripe texture must average along the major axis (≈ the
+    stripe mean) while an isotropic lookup at the same minor LOD aliases
+    (returns a near-pure stripe color)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+    from mitsuba_tpu.scene.shapes import rectangle
+    from mitsuba_tpu.texture.texture import (eval_texture,
+                                             eval_texture_aniso)
+
+    res = 256
+    stripes = np.zeros((res, res, 3), np.float32)
+    stripes[:, ::2] = 1.0            # vertical 1px stripes along u
+    desc = SceneDesc()
+    tid = desc.add_texture(stripes)
+    m = desc.add_material(kind="diffuse", albedo_texture=tid)
+    desc.add_shape(rectangle(), material=m)
+    scene = compile_scene(desc, cluster_size=128)
+
+    uv = jnp.asarray([[64.5 / res, 0.5]])   # centered ON a stripe
+    t = jnp.full((1,), tid, jnp.int32)
+    # footprint: wide along u (64 texels), 1 texel along v
+    duv0 = jnp.asarray([[64.0 / res, 0.0]])
+    duv1 = jnp.asarray([[0.0, 1.0 / res]])
+    val = np.asarray(eval_texture_aniso(scene, t, uv, duv0, duv1))
+    assert abs(val.mean() - 0.5) < 0.12, val
+    # isotropic lookup at the minor-axis LOD (level 0) sees one stripe
+    iso = np.asarray(eval_texture(scene, t, uv, jnp.zeros((1,))))
+    assert abs(iso.mean() - 0.5) > 0.3
