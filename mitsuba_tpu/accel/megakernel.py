@@ -83,9 +83,11 @@ def _to_float(bits):
 
 def _rng2(seed_i, pixel_i, dim_i, samp_i):
     """Two uniforms, mirroring core/rng.py hash_u32 counter layout.
-    seed/dim are int32 scalars, pixel/samp are [1, B] int32 rows; bit
-    patterns == the uint32 stream."""
-    full_u = lambda v: pltpu.bitcast(jnp.full_like(pixel_i, v), _U32)
+    seed is an int32 scalar; dim may be a scalar OR a [1, B] row (the
+    persistent kernel's per-lane bounce counters); pixel/samp are [1, B]
+    int32 rows; bit patterns == the uint32 stream."""
+    full_u = lambda v: pltpu.bitcast(
+        jnp.broadcast_to(jnp.asarray(v, jnp.int32), pixel_i.shape), _U32)
     x, y, z, w = _pcg4d(pltpu.bitcast(pixel_i, _U32),
                         full_u(dim_i), full_u(seed_i),
                         pltpu.bitcast(samp_i, _U32) + _U32(0x9E3779B9))
@@ -754,3 +756,174 @@ def _bsdf_sample(families, params, wix, wiy, wiz, u0, u1, uc):
         pdf = jnp.where(sel, s * pdf_c, pdf)
 
     return nwx, nwy, nwz, w_r, w_g, w_b, pdf, is_delta
+
+
+# ---------------------------------------------------------------------------
+# persistent kernel with path regeneration
+# ---------------------------------------------------------------------------
+# The whole-path kernel wastes ~2/3 of its trace slots on dead lanes (RR +
+# escape kill most paths well before max_depth, but a block only exits when
+# ALL of its lanes die). The persistent kernel keeps every lane busy: each
+# lane owns ONE pixel and renders `spp` complete paths back to back,
+# re-emitting a fresh camera ray the moment its current path terminates
+# (classic "path regeneration" / persistent-threads megakernel design —
+# lane↔pixel stays static, so no scatter or compaction is needed and the
+# counter RNG stays replayable: draws are keyed by (pixel, sample, bounce)
+# exactly as the XLA integrator).
+
+N_PSTATE = 24    # rows 0..15 as N_STATE; 16 bounce, 17 done,
+                 # 18:21 L_sum, 21 pad, 22 trace count, 23 shadow count
+
+DIM_PIXEL = 0    # sensor jitter dim (mirrors integrator/common.py)
+
+
+def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
+                           families: tuple, rr_depth: int, max_depth: int,
+                           m_pad: int, et_pad: int, spp: int,
+                           iter_cap: int):
+    """consts layout: [0:9] scene consts (as the other kernels), then the
+    in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
+    cam position, [21] tan_half, [22] aspect, [23] width, [24] height."""
+
+    def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
+               meta_ref, consts_ref, st_in_ref, st_out_ref):
+        consts = tuple(consts_ref[i] for i in range(9))
+        cam = tuple(consts_ref[9 + i] for i in range(16))
+        woop = woop_ref[:]
+        attr_tab = attr_ref[:]
+        mat = mat_ref[:]
+        em = em_ref[:]
+        pixel = pix_ref[:]                    # [1, B] int32: lane's pixel
+        samp0 = samp_ref[:]                   # [1, B] int32: sample base
+        seed = meta_ref[0]
+        stf = st_in_ref[:]                    # [N_PSTATE, B]
+
+        (r00, r01, r02, r10, r11, r12, r20, r21, r22,
+         cpx, cpy, cpz, tan_half, aspect, wpix, hpix) = cam
+
+        def cam_ray(samp_new):
+            """Fresh primary ray for this lane's pixel at sample index
+            samp_new (mirrors PerspectiveCamera.sample_ray + render.py
+            pixel jitter)."""
+            j0, j1 = _rng2(seed, pixel, DIM_PIXEL, samp_new)
+            pf = pixel.astype(jnp.float32)
+            py_i = jnp.floor(pf / wpix)
+            px_i = pf - py_i * wpix
+            ndc_x = 1.0 - (px_i + j0) / wpix * 2.0
+            ndc_y = 1.0 - (py_i + j1) / hpix * 2.0
+            lx = ndc_x * tan_half
+            ly = ndc_y * tan_half * aspect
+            dx = lx * r00 + ly * r01 + r02
+            dy = lx * r10 + ly * r11 + r12
+            dz = lx * r20 + ly * r21 + r22
+            return _normalize3(dx, dy, dz)
+
+        def cond(carry):
+            i, st = carry
+            return (i < iter_cap) & (jnp.sum(st[12:13]) > 0.0)
+
+        def body(carry):
+            i, st = carry
+            bounce = st[16:17].astype(jnp.int32)
+            done = st[17:18]
+            samp = samp0 + done.astype(jnp.int32)
+            new16, n_tr, n_sh = _bounce_math(
+                tc, c_clusters, families, rr_depth, max_depth, m_pad,
+                et_pad, woop, attr_tab, mat, em, consts, pixel, samp,
+                seed, bounce, st[:16])
+            was_active = st[12:13] > 0.5
+            now_active = new16[12:13] > 0.5
+            died = was_active & ~now_active
+
+            # on death: bank the finished path's radiance, count it
+            df = died.astype(jnp.float32)
+            l_sum_r = st[18:19] + df * new16[9:10]
+            l_sum_g = st[19:20] + df * new16[10:11]
+            l_sum_b = st[20:21] + df * new16[11:12]
+            done_new = done + df
+
+            # regenerate: lanes that just died and still owe samples
+            regen = died & (done_new < float(spp))
+            samp_next = samp0 + done_new.astype(jnp.int32)
+            ndx, ndy, ndz = cam_ray(samp_next)
+            rf = regen.astype(jnp.float32)
+            keep = 1.0 - rf
+            zero = jnp.zeros_like(df)
+            one = jnp.ones_like(df)
+            st_new = jnp.concatenate([
+                jnp.where(regen, cpx * one, new16[0:1]),
+                jnp.where(regen, cpy * one, new16[1:2]),
+                jnp.where(regen, cpz * one, new16[2:3]),
+                jnp.where(regen, ndx, new16[3:4]),
+                jnp.where(regen, ndy, new16[4:5]),
+                jnp.where(regen, ndz, new16[5:6]),
+                keep * new16[6:7] + rf, keep * new16[7:8] + rf,
+                keep * new16[8:9] + rf,                   # throughput = 1
+                keep * new16[9:10], keep * new16[10:11],
+                keep * new16[11:12],                      # L = 0
+                jnp.maximum(new16[12:13], rf),            # active
+                keep * new16[13:14] + rf,                 # prev_pdf = 1
+                jnp.maximum(new16[14:15], rf),            # prev_delta = 1
+                keep * new16[15:16] + rf,                 # eta = 1
+                jnp.where(regen, zero,
+                          bounce.astype(jnp.float32) + 1.0),
+                done_new,
+                l_sum_r, l_sum_g, l_sum_b,
+                st[21:22] + 1.0,          # iterations executed (diag)
+                st[22:23] + n_tr, st[23:24] + n_sh,
+            ], axis=0)
+            return i + 1, st_new
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), stf))
+        st_out_ref[:] = st
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tables", "families", "rr_depth",
+                                    "max_depth", "spp", "block",
+                                    "iter_cap"))
+def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
+                   consts_cam, state, pixel, samp0, meta_u32,
+                   block=DEF_BLOCK, iter_cap=0):
+    """Persistent path-regeneration render: every lane completes exactly
+    `spp` paths of its pixel. state [N_PSTATE, Npad] (host-initialised:
+    first camera ray in rows 0..15 with active=1, rows 16.. zero).
+    Returns the final [N_PSTATE, Npad] state: L_sum rows 18:21 / spp is
+    the per-lane radiance mean; rows 22+23 are exact ray counters."""
+    n = state.shape[1]
+    c_clusters = tables.woop.shape[0]
+    m_pad = tables.mat.shape[1]
+    et_pad = tables.em_rows.shape[0]
+    if iter_cap <= 0:
+        cap = spp * (max_depth if max_depth > 0 else 32) + 8
+    else:
+        cap = iter_cap
+    kernel = make_persistent_kernel(tables.tc, c_clusters,
+                                    tables.em_count, families, rr_depth,
+                                    max_depth, m_pad, et_pad, spp, cap)
+    grid = (n // block,)
+    full = lambda shape: pl.BlockSpec(shape, lambda r: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            full(tables.woop.shape),
+            full(tables.attr.shape),
+            full(tables.mat.shape),
+            full(tables.em_rows.shape),
+            col(1),                                   # pixel
+            col(1),                                   # samp base
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # meta_u32
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # consts + camera
+            col(N_PSTATE),
+        ],
+        out_specs=col(N_PSTATE),
+        out_shape=jax.ShapeDtypeStruct((N_PSTATE, n), jnp.float32),
+    )(tables.woop, tables.attr, tables.mat, tables.em_rows,
+      pixel, samp0, meta_u32, jnp.asarray(consts_cam, jnp.float32), state)
+    return out

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,3 +115,66 @@ class MegaPathTracer(PathTracer):
         n_rays = (jnp.sum(out[16]) + jnp.sum(out[17])).astype(jnp.uint32)
         L = out[9:12, :n].T
         return L, n_rays
+
+
+def render_persistent(integ: MegaPathTracer, camera, spp: int,
+                      seed: int = 0):
+    """Persistent path-regeneration render (accel/megakernel.py
+    run_persistent): one lane per pixel, each completing exactly `spp`
+    paths with in-kernel camera ray regeneration — no dead-lane waste.
+    Returns (image [H, W, 3], n_rays). Pinhole perspective only."""
+    return _render_persistent(integ, camera, spp, jnp.uint32(seed))
+
+
+@functools.partial(jax.jit, static_argnames=("integ", "camera", "spp"))
+def _render_persistent(integ, camera, spp, seed):
+    from ..accel.megakernel import N_PSTATE, run_persistent
+    from ..core import rng as _rng
+
+    w, h = camera.width, camera.height
+    n = w * h
+    block = integ.block
+    n_pad = -(-n // block) * block
+
+    r = np.asarray(camera.to_world[:3, :3], np.float32)
+    t = np.asarray(camera.to_world[:3, 3], np.float32)
+    tan_half = float(np.tan(np.radians(camera.fov_x) / 2.0))
+    aspect = h / w
+    cam = (float(r[0, 0]), float(r[0, 1]), float(r[0, 2]),
+           float(r[1, 0]), float(r[1, 1]), float(r[1, 2]),
+           float(r[2, 0]), float(r[2, 1]), float(r[2, 2]),
+           float(t[0]), float(t[1]), float(t[2]),
+           tan_half, float(aspect), float(w), float(h))
+    consts = tuple(integ.meta_consts[:9]) + cam
+
+    pix = jnp.arange(n_pad, dtype=jnp.int32) % jnp.int32(n)
+    samp0 = jnp.zeros((n_pad,), jnp.int32)
+    # first camera ray (sample 0), matching the in-kernel regen
+    jitter = _rng.sample_2d(seed, pix.astype(jnp.uint32), 0, 0)
+    pos = jnp.stack([(pix % w).astype(jnp.float32) + jitter[..., 0],
+                     (pix // w).astype(jnp.float32) + jitter[..., 1]],
+                    axis=-1)
+    o, d = camera.sample_ray(pos)
+    state = jnp.zeros((N_PSTATE, n_pad))
+    state = state.at[0:3].set(o.T).at[3:6].set(d.T)
+    state = state.at[6:9].set(1.0)       # throughput
+    state = state.at[12].set(1.0)        # active
+    state = state.at[13].set(1.0)        # prev_pdf
+    state = state.at[14].set(1.0)        # prev_delta
+    state = state.at[15].set(1.0)        # eta
+    meta = jnp.stack([seed.astype(jnp.int32),
+                      jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                      jnp.zeros((), jnp.int32)])
+
+    out = run_persistent(integ.tables, integ.families, integ.rr_depth,
+                         integ.max_depth, spp, consts, state,
+                         pix[None, :], samp0[None, :], meta,
+                         block=block)
+    # lanes beyond n are duplicates of early pixels; take the first n
+    l_sum = out[18:21, :n].T / spp
+    n_rays = (jnp.sum(out[22]) + jnp.sum(out[23])).astype(jnp.uint32)
+    # duplicated lanes traced too — subtract their share for exact counts
+    if n_pad != n:
+        dup = out[22:24, n:]
+        n_rays = n_rays - jnp.sum(dup).astype(jnp.uint32)
+    return l_sum.reshape(h, w, 3), n_rays

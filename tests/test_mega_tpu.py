@@ -35,3 +35,32 @@ def test_mega_matches_path():
     rel = np.abs(L_ref - L_m) / np.maximum(L_ref, 1e-3)
     assert (rel > 1e-2).mean() < 0.02, (rel > 1e-2).mean()
     assert abs(L_ref.mean() - L_m.mean()) / L_ref.mean() < 5e-3
+
+
+def test_persistent_matches_mega():
+    """Persistent path-regeneration render must estimate the same image
+    as the per-pass megakernel (same estimator, different sample
+    scheduling), and its ray counters must be plausible."""
+    from mitsuba_tpu.film.film import Film
+    from mitsuba_tpu.integrator.mega import (MegaPathTracer,
+                                             render_persistent)
+    from mitsuba_tpu.render import render
+    from mitsuba_tpu.scene.builder import compile_scene
+    from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
+
+    scene = compile_scene(cornell_box(), cluster_size=64)
+    cam = cornell_camera(64, 64)
+    integ = MegaPathTracer.for_scene(scene, max_depth=8, block=2048)
+    img_p, n_rays = render_persistent(integ, cam, spp=32, seed=0)
+    img_p = np.asarray(img_p)
+    img_m = np.asarray(render(scene, cam, Film(width=64, height=64),
+                              integ, spp=32, seed=0))
+    assert np.isfinite(img_p).all()
+    rel = abs(img_p.mean() - img_m.mean()) / img_m.mean()
+    assert rel < 0.01, (img_p.mean(), img_m.mean())
+    # per-pixel agreement at matched spp (same pixel estimator variance)
+    diff = np.abs(img_p - img_m).mean() / img_m.mean()
+    assert diff < 0.25, diff
+    # counters: between 2 (first closest+shadow) and 2·spp·max_depth
+    per_path = int(n_rays) / (64 * 64 * 32)
+    assert 2.0 <= per_path <= 16.0, per_path
