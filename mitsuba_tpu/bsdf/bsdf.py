@@ -1103,3 +1103,152 @@ def perturb_shading_frame(scene: S.SceneData, mat: MatInfo, frame, uv,
     return (jnp.where(has[..., None], s2, s),
             jnp.where(has[..., None], t2, t),
             jnp.where(has[..., None], n2, n))
+
+
+# ---------------------------------------------------------------------------
+# hk — Hanrahan-Krueger thin slab, single scattering (ref: src/bsdfs/hk.cpp)
+# params: sigma_s 0:3, sigma_a 3:6, g 6, thickness 7
+# ---------------------------------------------------------------------------
+
+def _hk_terms(p, wi, wo):
+    sig_s = p[..., 0:3]
+    sig_a = p[..., 3:6]
+    g = p[..., 6:7]
+    d = p[..., 7:8]
+    sig_t = sig_s + sig_a
+    tau = sig_t * d
+    albedo = jnp.where(sig_t > 0, sig_s / jnp.maximum(sig_t, 1e-12), 0.0)
+    mu_i = jnp.abs(_cos_theta(wi))[..., None]
+    mu_o = jnp.abs(_cos_theta(wo))[..., None]
+    # HG phase at the scattering angle inside the (index-matched) slab
+    cosg = dot(-wi, wo)[..., None]
+    ph = ((1.0 - g * g)
+          / jnp.maximum((1.0 + g * g + 2.0 * g * cosg) ** 1.5, 1e-9)
+          / (4.0 * jnp.pi))
+    return albedo, tau, mu_i, mu_o, ph
+
+
+def hk_eval(p, wi, wo):
+    """Single-scattering reflection + transmission of the slab
+    (HK '93 eqs; hk.cpp eval). Returns f·|cosθo|."""
+    albedo, tau, mu_i, mu_o, ph = _hk_terms(p, wi, wo)
+    refl = (_cos_theta(wi) * _cos_theta(wo) > 0)[..., None]
+    # reflection: α·P·μo/(μi+μo)·(1 − e^{−τ(1/μi+1/μo)})
+    f_r = albedo * ph / jnp.maximum(mu_i + mu_o, 1e-6) \
+        * (1.0 - jnp.exp(-tau * (1.0 / jnp.maximum(mu_i, 1e-4)
+                                 + 1.0 / jnp.maximum(mu_o, 1e-4))))
+    # transmission (μi ≠ μo): α·P/(μi−μo)·(e^{−τ/μi} − e^{−τ/μo});
+    # series limit at μi = μo: α·P·τ/μ²·e^{−τ/μ}
+    dm = mu_i - mu_o
+    near = jnp.abs(dm) < 1e-4
+    et_i = jnp.exp(-tau / jnp.maximum(mu_i, 1e-4))
+    et_o = jnp.exp(-tau / jnp.maximum(mu_o, 1e-4))
+    f_t_gen = albedo * ph / jnp.where(near, 1.0, dm) * (et_i - et_o)
+    f_t_lim = albedo * ph * tau \
+        / jnp.maximum(mu_i * mu_i, 1e-6) * et_i
+    f_t = jnp.where(near, f_t_lim, f_t_gen)
+    f = jnp.where(refl, f_r, f_t)
+    valid = jnp.abs(_cos_theta(wi)) > 1e-5
+    return jnp.where(valid[..., None], f * mu_o, 0.0)
+
+
+def hk_pdf(p, wi, wo):
+    # sampling strategy: 50/50 reflect/transmit, cosine-weighted each side
+    c = jnp.abs(_cos_theta(wo)) * INV_PI * 0.5
+    return jnp.where(jnp.abs(_cos_theta(wi)) > 1e-5, c, 0.0)
+
+
+def hk_sample(p, wi, u2, u1):
+    wo_up = square_to_cosine_hemisphere(u2)
+    sgn = jnp.sign(_cos_theta(wi))[..., None]
+    transmit = (u1 < 0.5)[..., None]
+    wo = wo_up * jnp.concatenate(
+        [jnp.ones_like(sgn), jnp.ones_like(sgn),
+         jnp.where(transmit, -sgn, sgn)], axis=-1)
+    pdf = hk_pdf(p, wi, wo)
+    f = hk_eval(p, wi, wo)
+    w = jnp.where(pdf[..., None] > 1e-9,
+                  f / jnp.maximum(pdf, 1e-9)[..., None], 0.0)
+    return (wo, w, pdf, jnp.zeros(wi.shape[:-1], bool),
+            jnp.ones(wi.shape[:-1]))
+
+
+# ---------------------------------------------------------------------------
+# tabulated BSDF (ref: winmad src/bsdfs/tabulated_bsdf.cpp:16 — 4D BTF
+# tables; here f(θi, θo, Δφ) per channel). Tables are bound at scene
+# compile (bsdf/tabulated_pool.py) — compile-time constants like every
+# other scene table, read by closure inside jit.
+# params: 0 = table index, 1 = scale
+# ---------------------------------------------------------------------------
+
+def tabulated_eval(p, wi, wo):
+    from .tabulated_pool import get_tables
+    tab = get_tables()
+    if tab is None:
+        return jnp.zeros(wi.shape[:-1] + (3,))
+    k, n_ti, n_to, n_ph, _ = tab.shape
+    idx = jnp.clip(p[..., 0].astype(jnp.int32), 0, k - 1)
+    scale = p[..., 1:2]
+    mu_i = jnp.abs(_cos_theta(wi))
+    mu_o = jnp.abs(_cos_theta(wo))
+    refl = _cos_theta(wi) * _cos_theta(wo) > 0
+    ti = jnp.arccos(jnp.clip(mu_i, 0.0, 1.0)) / (jnp.pi / 2)
+    to = jnp.arccos(jnp.clip(mu_o, 0.0, 1.0)) / (jnp.pi / 2)
+    dphi = jnp.arctan2(wo[..., 1], wo[..., 0]) \
+        - jnp.arctan2(wi[..., 1], wi[..., 0])
+    dphi = jnp.mod(dphi, 2.0 * jnp.pi) / (2.0 * jnp.pi)
+
+    def lerp_axis(x, n):
+        f = jnp.clip(x * n - 0.5, 0.0, n - 1.0)
+        i0 = jnp.floor(f).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        return i0, i1, f - i0
+
+    a0, a1, fa = lerp_axis(ti, n_ti)
+    b0, b1, fb = lerp_axis(to, n_to)
+    c0 = jnp.floor(dphi * n_ph).astype(jnp.int32) % n_ph
+    c1 = (c0 + 1) % n_ph
+    fc = dphi * n_ph - jnp.floor(dphi * n_ph)
+
+    def tap(a, b, c):
+        return tab[idx, a, b, c]
+
+    v = ((tap(a0, b0, c0) * (1 - fc)[..., None]
+          + tap(a0, b0, c1) * fc[..., None]) * (1 - fb)[..., None]
+         + (tap(a0, b1, c0) * (1 - fc)[..., None]
+            + tap(a0, b1, c1) * fc[..., None]) * fb[..., None]
+         ) * (1 - fa)[..., None] + (
+        (tap(a1, b0, c0) * (1 - fc)[..., None]
+         + tap(a1, b0, c1) * fc[..., None]) * (1 - fb)[..., None]
+        + (tap(a1, b1, c0) * (1 - fc)[..., None]
+           + tap(a1, b1, c1) * fc[..., None]) * fb[..., None]
+    ) * fa[..., None]
+    f = v * scale * mu_o[..., None]
+    return jnp.where((refl & (mu_i > 1e-5))[..., None], f, 0.0)
+
+
+def tabulated_pdf(p, wi, wo):
+    same = _cos_theta(wi) * _cos_theta(wo) > 0
+    return jnp.where(same & (jnp.abs(_cos_theta(wi)) > 1e-5),
+                     jnp.abs(_cos_theta(wo)) * INV_PI, 0.0)
+
+
+def tabulated_sample(p, wi, u2, u1):
+    wo_up = square_to_cosine_hemisphere(u2)
+    sgn = jnp.sign(_cos_theta(wi))[..., None]
+    wo = wo_up * jnp.concatenate(
+        [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], axis=-1)
+    pdf = tabulated_pdf(p, wi, wo)
+    f = tabulated_eval(p, wi, wo)
+    w = jnp.where(pdf[..., None] > 1e-9,
+                  f / jnp.maximum(pdf, 1e-9)[..., None], 0.0)
+    return (wo, w, pdf, jnp.zeros(wi.shape[:-1], bool),
+            jnp.ones(wi.shape[:-1]))
+
+
+_SMOOTH_EVAL[S.MAT_HK] = hk_eval
+_SMOOTH_PDF[S.MAT_HK] = hk_pdf
+_SAMPLERS[S.MAT_HK] = hk_sample
+_SMOOTH_EVAL[S.MAT_TABULATED] = tabulated_eval
+_SMOOTH_PDF[S.MAT_TABULATED] = tabulated_pdf
+_SAMPLERS[S.MAT_TABULATED] = tabulated_sample

@@ -33,7 +33,18 @@ from .path import PathTracer
 
 @dataclass(frozen=True)
 class HeteroVolPathTracer(PathTracer):
-    """Volumetric PT over the scene's density grid."""
+    """Volumetric PT over the scene's density grid.
+
+    sggx=True enables the winmad anisotropic-microflake medium (ref:
+    src/medium/heterogeneous{2,3}.cpp + src/phase/SGGX.cpp): extinction
+    becomes directionally varying, σ_t(x, d) = density(x)·σ_scale·σ_S(d)
+    with σ_S(d) = √(dᵀ S d) from scene.med_sggx (the phase.h:204-231
+    sigmaDir interface), and scattering uses the specular SGGX microflake
+    phase with perfect VNDF importance sampling. σ_S is constant along a
+    ray for the (global-S) single-lobe medium, so delta tracking just
+    scales each lane's σ and the majorant by the S-matrix bounds.
+    """
+    sggx: bool = False
 
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
         return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
@@ -48,6 +59,17 @@ class HeteroVolPathTracer(PathTracer):
         bb_min = scene.med_grid_min
         bb_ext = scene.med_grid_extent
         majorant = scene.med_majorant
+        if self.sggx:
+            from ..phase.phase import (_s_mat, sggx_sigma,
+                                       sggx_specular_eval,
+                                       sggx_specular_sample)
+            s6 = scene.med_sggx
+            # majorant σ bound: λ_max(S) ≤ max Gershgorin row sum (cheap
+            # and TPU-safe; eigendecomposition doesn't lower to XLA:TPU)
+            smat = jnp.abs(_s_mat(s6))
+            lam_ub = jnp.max(jnp.sum(smat, axis=-1))
+            sig_max = jnp.sqrt(jnp.maximum(lam_ub, 1e-12))
+            majorant = majorant * sig_max
 
         def bounce_body(carry, bounce):
             (o, d, throughput, L, active, eta_scale, prev_pdf,
@@ -60,9 +82,11 @@ class HeteroVolPathTracer(PathTracer):
             bits = rng.hash_u32(seed, pixel_id,
                                 bounce_dim(bounce, DIM_MEDIUM),
                                 sample_idx)[..., 0]
+            sig_dir = (sggx_sigma(s6, d) if self.sggx
+                       else jnp.ones_like(t_surf))
             sampled, t_med, sig_ev = sample_distance_woodcock(
-                grid, bb_min, bb_ext, sigma_scale, majorant, o, d, t_surf,
-                bits)
+                grid, bb_min, bb_ext, sigma_scale * sig_dir, majorant,
+                o, d, t_surf, bits)
             in_medium = active & sampled
             on_surface = active & its.valid & ~sampled
             escaped = active & ~its.valid & ~sampled
@@ -110,7 +134,10 @@ class HeteroVolPathTracer(PathTracer):
             f_surf = eval_bsdf_ex(mat, wi_local, wo_nee, self.families)
             pdf_surf_nee = pdf_bsdf_ex(mat, wi_local, wo_nee,
                                        self.families)
-            f_phase = hg_eval(g, dot(-d, ds.d))
+            if self.sggx:
+                f_phase = sggx_specular_eval(s6, -d, ds.d)
+            else:
+                f_phase = hg_eval(g, dot(-d, ds.d))
             f_nee = jnp.where(in_medium[..., None],
                               jnp.broadcast_to(f_phase[..., None],
                                                f_surf.shape), f_surf)
@@ -123,9 +150,12 @@ class HeteroVolPathTracer(PathTracer):
             sh_bits = rng.hash_u32(seed, pixel_id,
                                    bounce_dim(bounce, DIM_PHASE) + 1,
                                    sample_idx)[..., 1]
+            sig_sh = (sggx_sigma(s6, ds.d) if self.sggx
+                      else jnp.ones_like(t_surf))
             tr_sh = transmittance_ratio(
-                grid, bb_min, bb_ext, sigma_scale, majorant, so, ds.d,
-                jnp.minimum(ds.dist, 1e4), sh_bits)[..., None]
+                grid, bb_min, bb_ext, sigma_scale * sig_sh, majorant,
+                so, ds.d, jnp.minimum(ds.dist, 1e4),
+                sh_bits)[..., None]
 
             contributes = (in_medium | on_surface) & nee_ok & ~occ \
                 & jnp.any(f_nee > 0, axis=-1)
@@ -144,7 +174,10 @@ class HeteroVolPathTracer(PathTracer):
             d_bsdf = Frame.to_world(frame, bs.wo)
             u_ph = self._d2(seed, pixel_id, sample_idx,
                             bounce_dim(bounce, DIM_PHASE))
-            d_phase, pdf_phase = hg_sample(g, -d, u_ph)
+            if self.sggx:
+                d_phase, pdf_phase = sggx_specular_sample(s6, -d, u_ph)
+            else:
+                d_phase, pdf_phase = hg_sample(g, -d, u_ph)
             d_next = jnp.where(in_medium[..., None], d_phase, d_bsdf)
             o_next = jnp.where(in_medium[..., None], p_event,
                                offset_ray_origin(its.p, its.ng, d_bsdf))

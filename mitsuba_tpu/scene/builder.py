@@ -55,8 +55,12 @@ class Material:
     weight: float = 0.5          # mixture weight of child A / mask opacity
     weight_texture: int = -1     # blendbsdf weight / mask opacity texture
     transmittance: Sequence[float] = (0.5, 0.5, 0.5)  # difftrans
-    sigma_a: Sequence[float] = (0.0, 0.0, 0.0)        # coating absorption
-    thickness: float = 1.0                            # coating layer depth
+    sigma_a: Sequence[float] = (0.0, 0.0, 0.0)        # coating / hk absorption
+    thickness: float = 1.0                            # coating / hk slab depth
+    sigma_s: Sequence[float] = (1.0, 1.0, 1.0)        # hk scattering
+    g: float = 0.0                                    # hk phase asymmetry
+    table_id: int = 0                                 # tabulated BSDF index
+    table_scale: float = 1.0
 
     _KINDS = {
         "diffuse": S.MAT_DIFFUSE, "conductor": S.MAT_CONDUCTOR,
@@ -69,6 +73,7 @@ class Material:
         "difftrans": S.MAT_DIFFTRANS,
         "mixturebsdf": S.MAT_MIXTURE, "blendbsdf": S.MAT_MIXTURE,
         "mask": S.MAT_MIXTURE, "coating": S.MAT_COATING,
+        "hk": S.MAT_HK, "tabulated": S.MAT_TABULATED,
     }
 
     def compile(self):
@@ -123,6 +128,14 @@ class Material:
             p[1:4] = np.asarray(self.sigma_a, np.float64) * self.thickness
             p[4] = 1.0
             p[18] = float(self.child_a)
+        elif code == S.MAT_HK:
+            p[0:3] = self.sigma_s
+            p[3:6] = self.sigma_a
+            p[6] = self.g
+            p[7] = self.thickness
+        elif code == S.MAT_TABULATED:
+            p[0] = float(self.table_id)
+            p[1] = self.table_scale
         tex = np.array([self.albedo_texture, self.roughness_texture],
                        np.int32)
         # dispatch metadata packed into the row (scene.py layout)
@@ -216,6 +229,9 @@ class Medium:
     density_grid: np.ndarray = None
     grid_min: Sequence[float] = (0.0, 0.0, 0.0)
     grid_max: Sequence[float] = (1.0, 1.0, 1.0)
+    # SGGX microflake S-matrix [Sxx,Syy,Szz,Sxy,Sxz,Syz] (winmad
+    # anisotropic media, heterogeneous2/3 + SGGX phase); None = isotropic
+    sggx_s: Sequence[float] = None
 
 
 @dataclass
@@ -230,6 +246,7 @@ class SceneDesc:
     envmap: Optional[EnvmapLight] = None
     medium: Optional[Medium] = None
     textures: list = field(default_factory=list)   # numpy [H, W, 3] images
+    bsdf_tables: list = field(default_factory=list)  # [n_ti,n_to,n_phi,3]
 
     def add_material(self, **kw) -> int:
         self.materials.append(Material(**kw))
@@ -516,6 +533,13 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
+    # bind tabulated-BSDF tables (compile-time constants; see
+    # bsdf/tabulated_pool.py)
+    if desc.bsdf_tables:
+        from ..bsdf import tabulated_pool
+        tabulated_pool.register_tables(np.stack(
+            [np.asarray(t, np.float32) for t in desc.bsdf_tables]))
+
     return S.SceneData(
         p0=f32(p0), e1=f32(e1), e2=f32(e2), ng=f32(ng), vn=f32(vn),
         vuv=f32(vuv), tri_mat=i32(tri_mat), tri_em=i32(tri_em),
@@ -547,4 +571,8 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         med_grid=f32(med_grid), med_grid_min=f32(med_grid_min),
         med_grid_extent=f32(med_grid_extent),
         med_majorant=jnp.asarray(med_majorant),
+        med_sggx=jnp.asarray(
+            np.zeros(6, np.float32) if (desc.medium is None
+                                        or desc.medium.sggx_s is None)
+            else np.asarray(desc.medium.sggx_s, np.float32)),
     )

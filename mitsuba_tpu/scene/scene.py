@@ -35,8 +35,10 @@ MAT_DIFFTRANS = 12        # diffuse transmitter (ref: src/bsdfs/difftrans.cpp)
 MAT_MIXTURE = 13          # mixture/blend/mask adapter (mixturebsdf.cpp,
 #                           blendbsdf.cpp, mask.cpp — compiled to one code)
 MAT_COATING = 14          # smooth dielectric coat over a nested BSDF
+MAT_HK = 15               # Hanrahan-Krueger thin slab (src/bsdfs/hk.cpp)
+MAT_TABULATED = 16        # winmad tabulated BSDF (tabulated_bsdf.cpp:16)
 #                           (ref: src/bsdfs/coating.cpp)
-N_MAT_TYPES = 15
+N_MAT_TYPES = 17
 
 # Emitter type codes (ref: EEmitterType emitter.h:76)
 EM_AREA = 0
@@ -148,6 +150,9 @@ class SceneData(NamedTuple):
     med_grid_min: jnp.ndarray   # [3] world bbox min
     med_grid_extent: jnp.ndarray  # [3] world bbox extent
     med_majorant: jnp.ndarray   # scalar: max density · σ_scale
+    # SGGX microflake medium (winmad heterogeneous2/3): packed S matrix
+    # [Sxx,Syy,Szz,Sxy,Sxz,Syz]; zeros ⇒ isotropic medium (disabled)
+    med_sggx: jnp.ndarray = None
 
     @property
     def n_tris(self):

@@ -205,7 +205,7 @@ _BSDF_MAP = {
     "dielectric": "dielectric", "roughdielectric": "roughdielectric",
     "thindielectric": "thindielectric", "plastic": "plastic",
     "roughplastic": "roughplastic", "phong": "phong", "ward": "ward",
-    "null": "null", "difftrans": "difftrans",
+    "null": "null", "difftrans": "difftrans", "hk": "hk",
 }
 
 
