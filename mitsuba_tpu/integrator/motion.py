@@ -1,0 +1,49 @@
+"""Motion-blur rendering: time-sliced distribution ray tracing.
+
+Counterpart of the reference's motion-blur machinery — AnimatedTransform
+sensors/shapes (track.h), the `deformable` 4D-kd-tree shape and sensor
+shutter sampling (sensor.h time sampling; the `motion` integrator
+visualises it). TPU redesign rationale in core/track.py: per-ray
+continuous time would make every intersection data-dependent on t, so
+the shutter is stratified into n_t compile-time slices; each slice is an
+ordinary static render of the scene evaluated at that time, and the film
+averages them. Unbiased for piecewise-static scenes, and for continuous
+motion converges to the true integral as n_t grows (the time axis is
+just another stratified integration dimension).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..film.film import Film
+from ..render import render
+from ..scene.builder import SceneDesc, compile_scene
+
+
+def render_motion(desc_at, camera_at, film: Film, integrator, spp: int,
+                  shutter_open: float = 0.0, shutter_close: float = 1.0,
+                  n_time: int = 8, seed: int = 0,
+                  cluster_size: int = 512):
+    """Render with motion blur.
+
+    desc_at(t) -> SceneDesc (or a constant SceneDesc for static scenes);
+    camera_at(t) -> camera (or a constant camera). Each of the n_t
+    stratified shutter times renders spp//n_t samples (stratum centers —
+    jittering the slice time would change compiled geometry per sample).
+    """
+    spp_slice = max(1, spp // n_time)
+    img = None
+    for i in range(n_time):
+        t = shutter_open + (i + 0.5) / n_time * (shutter_close
+                                                 - shutter_open)
+        desc = desc_at(t) if callable(desc_at) else desc_at
+        cam = camera_at(t) if callable(camera_at) else camera_at
+        scene = compile_scene(desc, cluster_size)
+        integ = (integrator.specialized_for(scene)
+                 if hasattr(integrator, "specialized_for")
+                 and integrator.families is None else integrator)
+        out = np.asarray(render(scene, cam, film, integ, spp_slice,
+                                seed + i * 7919))
+        img = out if img is None else img + out
+    return img / n_time
