@@ -115,7 +115,14 @@ def main(argv=None) -> int:
             last_flush = time.time()
     render_s = time.time() - t1
     final = accum_img / done
-    write_image(out, final)
+    if out.lower().endswith(".exr"):
+        # embed render metadata like the reference (renderjob.cpp:109)
+        from .io.image import write_exr
+        write_exr(out, final, annotations={
+            "renderTime": float(render_s), "spp": int(spp),
+            "generatedBy": "mitsuba_tpu"})
+    else:
+        write_image(out, final)
     counter_add("Render time (s)", render_s)
     counter_add("Samples per pixel", spp)
     counter_add("Pixels", loaded.film.width * loaded.film.height)

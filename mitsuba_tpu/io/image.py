@@ -15,8 +15,13 @@ import numpy as np
 _EXR_MAGIC = 20000630
 
 
-def write_exr(path: str, img: np.ndarray):
-    """Write [H, W, 3] float32 RGB as uncompressed scanline EXR."""
+def write_exr(path: str, img: np.ndarray, annotations: dict | None = None):
+    """Write [H, W, 3] float32 RGB as uncompressed scanline EXR.
+
+    annotations: optional {name: str|float|int} written as EXR header
+    attributes — the reference's hdrfilm metadata/annotation support
+    (ref: hdrfilm.cpp `metadata` properties; renderjob.cpp stores the
+    render time this way, read back by data/scripts/rendertime.py)."""
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -47,6 +52,14 @@ def write_exr(path: str, img: np.ndarray):
     header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
     header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
     header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    for k, v in (annotations or {}).items():
+        if isinstance(v, (int, np.integer)):
+            header += attr(k, "int", struct.pack("<i", int(v)))
+        elif isinstance(v, (float, np.floating)):
+            header += attr(k, "float", struct.pack("<f", float(v)))
+        else:
+            sv = str(v).encode()
+            header += attr(k, "string", sv)
     header += b"\x00"
 
     with open(path, "wb") as f:
@@ -312,3 +325,28 @@ def _rgbe_decode_py(data: bytes, w: int, h: int) -> np.ndarray:
             img[y] = line[:, :3].astype(np.float32) * np.where(
                 line[:, 3:4] > 0, f[:, None], 0.0)
     return img
+
+
+def read_exr_annotations(path: str) -> dict:
+    """Read header attributes of an EXR (int/float/string only) — the
+    analog of data/scripts/rendertime.py's metadata extraction."""
+    with open(path, "rb") as f:
+        data = f.read(1 << 16)
+    magic, _version = struct.unpack_from("<ii", data, 0)
+    assert magic == _EXR_MAGIC, "not an EXR file"
+    pos = 8
+    out = {}
+    while data[pos] != 0:
+        e = data.index(b"\x00", pos)
+        name = data[pos:e].decode(); pos = e + 1
+        e = data.index(b"\x00", pos)
+        typ = data[pos:e].decode(); pos = e + 1
+        (size,) = struct.unpack_from("<i", data, pos); pos += 4
+        payload = data[pos:pos + size]; pos += size
+        if typ == "int":
+            out[name] = struct.unpack("<i", payload)[0]
+        elif typ == "float":
+            out[name] = struct.unpack("<f", payload)[0]
+        elif typ == "string":
+            out[name] = payload.decode(errors="replace")
+    return out
