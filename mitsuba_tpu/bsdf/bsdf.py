@@ -805,30 +805,44 @@ def _has_composite(families):
                                 or S.MAT_COATING in families)
 
 
-def _tex_override(scene, params, uv):
+def _tex_override(scene, params, uv, lod_extent=None):
     """Albedo/roughness texture resolution for one row batch
-    (factored out of resolve_params so child rows get it too)."""
+    (factored out of resolve_params so child rows get it too).
+
+    lod_extent: optional per-lane uv-space footprint extent — converted
+    to a mip level per texture (TMIPMap trilinear; footprint.py LoD)."""
     if uv is None or scene.tex_meta.shape[0] <= 1:
         return params
-    from ..texture.texture import eval_texture
+    from ..texture.texture import MAX_MIPS, eval_texture
     alb_tex = params[..., 13].astype(jnp.int32)
     has_tex = alb_tex >= 0
-    tex_val = eval_texture(scene, jnp.maximum(alb_tex, 0), uv)
+
+    def lod_for(tex_ids):
+        if lod_extent is None:
+            return None
+        meta = scene.tex_meta[jnp.maximum(tex_ids, 0) * MAX_MIPS]
+        size = jnp.maximum(meta[..., 1], meta[..., 2]).astype(jnp.float32)
+        return jnp.clip(jnp.log2(jnp.maximum(lod_extent * size, 1.0)),
+                        0.0, MAX_MIPS - 1.0)
+
+    tex_val = eval_texture(scene, jnp.maximum(alb_tex, 0), uv,
+                           lod_for(alb_tex))
     albedo = jnp.where(has_tex[..., None], tex_val, params[..., 0:3])
     params = params.at[..., 0:3].set(albedo)
     rough_tex = params[..., 14].astype(jnp.int32)
     has_r = rough_tex >= 0
-    rough = eval_texture(scene, jnp.maximum(rough_tex, 0), uv)[..., 0]
+    rough = eval_texture(scene, jnp.maximum(rough_tex, 0), uv,
+                         lod_for(rough_tex))[..., 0]
     return params.at[..., 9].set(jnp.where(has_r, rough, params[..., 9]))
 
 
 def resolve_material(scene: S.SceneData, mat_id, uv=None,
-                     families=None) -> MatInfo:
+                     families=None, lod_extent=None) -> MatInfo:
     """Fetch + texture-resolve material rows; resolve composite children.
     When the static family set has no composite codes, the child slots
     alias the top row and compile to nothing extra."""
     mid = jnp.maximum(mat_id, 0)
-    params = _tex_override(scene, scene.mat_params[mid], uv)
+    params = _tex_override(scene, scene.mat_params[mid], uv, lod_extent)
     mtype = params[..., 12].astype(jnp.int32)
     if not _has_composite(families):
         one = jnp.ones(mtype.shape, params.dtype)
@@ -837,7 +851,7 @@ def resolve_material(scene: S.SceneData, mat_id, uv=None,
     def child(slot):
         cid = params[..., slot].astype(jnp.int32)
         crow = scene.mat_params[jnp.maximum(cid, 0)]
-        crow = _tex_override(scene, crow, uv)
+        crow = _tex_override(scene, crow, uv, lod_extent)
         return crow[..., 12].astype(jnp.int32), crow
 
     is_comp = (mtype == S.MAT_MIXTURE) | (mtype == S.MAT_COATING)

@@ -96,11 +96,15 @@ class PathTracer:
         return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
 
     def li_stats(self, scene: SceneData, o, d, seed, pixel_id,
-                 sample_idx=0):
+                 sample_idx=0, tex_lod=None):
         """Like li, but also returns the traced-ray count (intersection +
         shadow rays over live lanes) — the wavefront analog of the
         reference's "Normal/Shadow rays traced" counters
-        (ref: skdtree.cpp:46-47)."""
+        (ref: skdtree.cpp:46-47).
+
+        tex_lod: optional [N] primary-hit uv footprint extents — texture
+        lookups at bounce 0 go through the matching mip level (LoD path
+        tracing, integrator/footprint.py)."""
         n = o.shape[0]
 
         def bounce_body(carry, bounce):
@@ -135,8 +139,10 @@ class PathTracer:
             depth = bounce + 2
 
             # ---- set up shading frame ----------------------------------
+            lod0 = None if tex_lod is None else \
+                jnp.where(bounce == 0, tex_lod, 0.0)
             mat = resolve_material(scene, its.mat_id, its.uv,
-                                   self.families)
+                                   self.families, lod_extent=lod0)
             frame = Frame.from_normal(its.ns)
             frame = perturb_shading_frame(scene, mat, frame, its.uv)
             wi_local = Frame.to_local(frame, -d)
