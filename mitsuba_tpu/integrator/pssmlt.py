@@ -103,6 +103,16 @@ class PSSMLT:
     def n_dims(self):
         return SENSOR_DIMS + self.max_depth * DIMS_PER_BOUNCE
 
+    def specialized_for(self, scene):
+        """Restrict BSDF dispatch to the scene's families (host-side,
+        before jit) — large compile-time win, as PathTracer."""
+        import dataclasses
+
+        import numpy as np
+        fams = tuple(sorted(int(x) for x in np.unique(
+            np.asarray(scene.mat_type))))
+        return dataclasses.replace(self, families=fams)
+
     def _core(self, psv):
         return _PSVPathTracer(
             max_depth=self.max_depth, rr_depth=10 ** 6,

@@ -35,9 +35,9 @@ def test_bdpt_matches_path_depth2(cornell, cam):
     """Direct lighting only: the l∈{0,1} strategies alone must agree
     with a depth-2 path trace (same integral, different MIS split)."""
     img_b = _mean_img(cornell, cam,
-                      BDPT(max_depth=2, cluster_size=128), 96, 0)
+                      BDPT(max_depth=2, cluster_size=128).specialized_for(cornell), 96, 0)
     img_p = _mean_img(cornell, cam,
-                      PathTracer(max_depth=2, cluster_size=128, rr_depth=99),
+                      PathTracer(max_depth=2, cluster_size=128, rr_depth=99).specialized_for(cornell),
                       96, 1)
     rel = abs(img_b.mean() - img_p.mean()) / img_p.mean()
     assert rel < 0.03, (img_b.mean(), img_p.mean(), rel)
@@ -46,9 +46,9 @@ def test_bdpt_matches_path_depth2(cornell, cam):
 def test_bdpt_matches_path_depth4(cornell, cam):
     """Full multi-strategy sum incl. subpath connections (l >= 2)."""
     img_b = _mean_img(cornell, cam,
-                      BDPT(max_depth=4, cluster_size=128), 128, 0)
+                      BDPT(max_depth=4, cluster_size=128).specialized_for(cornell), 128, 0)
     img_p = _mean_img(cornell, cam,
-                      PathTracer(max_depth=4, cluster_size=128, rr_depth=99),
+                      PathTracer(max_depth=4, cluster_size=128, rr_depth=99).specialized_for(cornell),
                       128, 1)
     rel = abs(img_b.mean() - img_p.mean()) / img_p.mean()
     assert rel < 0.04, (img_b.mean(), img_p.mean(), rel)
@@ -58,6 +58,6 @@ def test_bdpt_matches_path_depth4(cornell, cam):
 
 
 def test_bdpt_nonnegative_and_finite(cornell, cam):
-    img = _mean_img(cornell, cam, BDPT(max_depth=3, cluster_size=128), 8, 0)
+    img = _mean_img(cornell, cam, BDPT(max_depth=3, cluster_size=128).specialized_for(cornell), 8, 0)
     assert np.isfinite(img).all()
     assert (img >= 0).all()

@@ -20,12 +20,14 @@ def test_erpt_matches_path(cornell):
     cam = cornell_camera(width=16, height=16)
     film = Film(width=16, height=16)
     erpt = ERPT(max_depth=3, n_chains=2048, mutations_per_chain=64,
-                seeds_per_chain=4, cluster_size=128)
+                seeds_per_chain=4,
+                cluster_size=128).specialized_for(cornell)
     img_e, b, acc = erpt.render(cornell, cam, film, seed=2)
     img_e = np.asarray(img_e)
     img_p = np.asarray(render(
         cornell, cam, film,
-        PathTracer(max_depth=3, rr_depth=99, cluster_size=128),
+        PathTracer(max_depth=3, rr_depth=99,
+                   cluster_size=128).specialized_for(cornell),
         spp=128, seed=1))
     rel = abs(img_e.mean() - img_p.mean()) / img_p.mean()
     assert rel < 0.1, (img_e.mean(), img_p.mean(), rel)

@@ -20,7 +20,7 @@ def setup():
     scene = compile_scene(cornell_box(), cluster_size=128)
     cam = cornell_camera(width=16, height=16)
     film = Film(width=16, height=16, filter_name="box")
-    integ = PathTracer(max_depth=3, cluster_size=128)
+    integ = PathTracer(max_depth=3, cluster_size=128).specialized_for(scene)
     return scene, cam, film, integ
 
 

@@ -21,7 +21,8 @@ def cornell():
 
 
 def test_tree_flux_conservation(cornell):
-    vpl = VPLIntegrator(max_depth=4, n_paths=64, cluster_size=128)
+    vpl = VPLIntegrator(max_depth=4, n_paths=64,
+                        cluster_size=128).specialized_for(cornell)
     vpls = vpl.generate_vpls(cornell, seed=0)
     tree = build_light_tree(vpls)
     child = np.asarray(tree.child)
@@ -45,17 +46,19 @@ def test_lightcuts_matches_vpl(cornell):
     cam = cornell_camera(width=16, height=16)
     film = Film(width=16, height=16)
     vpl = VPLIntegrator(max_depth=3, n_paths=256, clamping=0.05,
-                        cluster_size=128)
+                        cluster_size=128).specialized_for(cornell)
     img_full = np.asarray(vpl.render(cornell, cam, film, spp=4, seed=0))
     # a cut as large as the VPL count reproduces the full sum
     lc_big = LightcutsIntegrator(max_depth=3, n_paths=256, clamping=0.05,
-                                 cut_size=256, cluster_size=128)
+                                 cut_size=256,
+                                 cluster_size=128).specialized_for(cornell)
     img_big = np.asarray(lc_big.render(cornell, cam, film, spp=4, seed=0))
     rel_big = abs(img_big.mean() - img_full.mean()) / img_full.mean()
     assert rel_big < 0.02, (img_big.mean(), img_full.mean())
     # a small cut stays close (error-bound-driven refinement)
     lc = LightcutsIntegrator(max_depth=3, n_paths=256, clamping=0.05,
-                             cut_size=48, cluster_size=128)
+                             cut_size=48,
+                             cluster_size=128).specialized_for(cornell)
     img_cut = np.asarray(lc.render(cornell, cam, film, spp=4, seed=0))
     rel = abs(img_cut.mean() - img_full.mean()) / img_full.mean()
     assert rel < 0.1, (img_cut.mean(), img_full.mean(), rel)

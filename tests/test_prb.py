@@ -23,7 +23,8 @@ def setup():
 
 
 def _naive_grads(scene, o, d, px, max_depth):
-    integ = PathTracer(max_depth=max_depth, cluster_size=128)
+    integ = PathTracer(max_depth=max_depth,
+                       cluster_size=128).specialized_for(scene)
 
     def loss(mat, em):
         sc = scene._replace(mat_params=mat, em_radiance=em)
@@ -40,7 +41,8 @@ def test_prb_matches_naive_ad(setup, max_depth):
     scene, o, d, px = setup
     g_mat_ad, g_em_ad = _naive_grads(scene, o, d, px, max_depth)
 
-    prb = PRBPathTracer(max_depth=max_depth, cluster_size=128)
+    prb = PRBPathTracer(max_depth=max_depth,
+                        cluster_size=128).specialized_for(scene)
     n = o.shape[0]
     dL = jnp.full((n, 3), 1.0 / (n * 3))   # adjoint of mean over lanes+rgb
     L, grads = jax.jit(lambda: prb.li_and_grad(
@@ -69,13 +71,14 @@ def test_prb_matches_naive_ad(setup, max_depth):
 def test_prb_gradcheck_fd(setup):
     """PRB vs central finite differences on the white-wall albedo."""
     scene, o, d, px = setup
-    integ = PathTracer(max_depth=3, cluster_size=128)
+    integ = PathTracer(max_depth=3, cluster_size=128).specialized_for(scene)
 
     def loss_at(mat):
         sc = scene._replace(mat_params=mat)
         return float(jnp.mean(integ.li(sc, o, d, jnp.uint32(0), px, 0)))
 
-    prb = PRBPathTracer(max_depth=3, cluster_size=128)
+    prb = PRBPathTracer(max_depth=3,
+                        cluster_size=128).specialized_for(scene)
     n = o.shape[0]
     dL = jnp.full((n, 3), 1.0 / (n * 3))
     _, grads = jax.jit(lambda: prb.li_and_grad(

@@ -40,13 +40,14 @@ def test_mutation_kernel_stays_in_unit_interval():
 def test_pssmlt_matches_path(cornell, cam):
     film = Film(width=16, height=16)
     mlt = PSSMLT(max_depth=3, n_chains=2048, boot_mult=4,
-                 cluster_size=128)
+                 cluster_size=128).specialized_for(cornell)
     img_m, b, acc = mlt.render(cornell, cam, film, n_mutations=160,
                                seed=3)
     img_m = np.asarray(img_m)
     img_p = np.asarray(render(
         cornell, cam, film,
-        PathTracer(max_depth=3, rr_depth=99, cluster_size=128),
+        PathTracer(max_depth=3, rr_depth=99,
+                   cluster_size=128).specialized_for(cornell),
         spp=128, seed=1))
 
     # bootstrap normalisation b ≈ mean image luminance of the PT render

@@ -31,11 +31,12 @@ def test_vpl_matches_path(cornell, cam):
     solution (instant radiosity is consistent as clamping → 0)."""
     film = Film(width=24, height=24)
     vpl = VPLIntegrator(max_depth=3, n_paths=2048, clamping=0.02,
-                        cluster_size=128)
+                        cluster_size=128).specialized_for(cornell)
     img_v = np.asarray(vpl.render(cornell, cam, film, spp=16, seed=0))
     img_p = np.asarray(render(
         cornell, cam, film,
-        PathTracer(max_depth=3, rr_depth=99, cluster_size=128),
+        PathTracer(max_depth=3, rr_depth=99,
+                   cluster_size=128).specialized_for(cornell),
         spp=160, seed=1))
     # VPL loses the clamped near-field energy ⇒ slightly darker is OK
     rel = (img_v.mean() - img_p.mean()) / img_p.mean()
@@ -50,7 +51,8 @@ def test_vpl_matches_path(cornell, cam):
 
 
 def test_vpl_generation_counts(cornell):
-    vpl = VPLIntegrator(max_depth=4, n_paths=128, cluster_size=128)
+    vpl = VPLIntegrator(max_depth=4, n_paths=128,
+                        cluster_size=128).specialized_for(cornell)
     vpls = vpl.generate_vpls(cornell, seed=0)
     nv = int(np.asarray(vpls.valid).sum())
     # emitter VPLs always valid; surface VPLs only on hits
@@ -65,7 +67,7 @@ def test_adaptive_allocates_to_variance(cornell, cam):
     agree with a uniform-sampling render."""
     film = Film(width=24, height=24)
     ad = AdaptiveSampler(max_error=0.02, batch_spp=8, max_passes=6)
-    pt = PathTracer(max_depth=3, cluster_size=128)
+    pt = PathTracer(max_depth=3, cluster_size=128).specialized_for(cornell)
     img, counts = ad.render_with_counts(cornell, cam, film, pt, seed=0)
     img, counts = np.asarray(img), np.asarray(counts)
     img_u = np.asarray(render(cornell, cam, film, pt, spp=64, seed=5))
