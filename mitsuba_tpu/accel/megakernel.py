@@ -131,12 +131,40 @@ class MegaTables:
     tc: int
 
 
-def build_mega_tables(scene: SceneData, tc: int = 64) -> MegaTables:
+def build_mega_tables(scene: SceneData, tc: int | None = None
+                      ) -> MegaTables:
     attr = np.asarray(scene.tri_attr)
-    t_pad = scene.woop_clusters.shape[0] * tc
+    # Repack Woop transforms at an adaptive cluster size: small scenes
+    # shrink tc to the real triangle count (rounded to the 8-sublane
+    # tile), so the in-kernel per-triangle VPU work and the MXU row
+    # tiles aren't wasted on padding (Cornell: 36 real tris → tc=40,
+    # not 64).
+    woop_o = np.asarray(scene.woop_o)            # [4, 3T]
+    n_total = woop_o.shape[1] // 3
+    # real tris = prefix with nonzero area (builder pads at the end)
+    areas = np.asarray(scene.tri_area)
+    n_real = int(np.max(np.nonzero(areas > 0)[0]) + 1) if \
+        (areas > 0).any() else 1
+    if tc is None:
+        tc = min(64, max(8, -(-n_real // 8) * 8))
+    c_clusters = -(-n_real // tc)
+    t_pad = c_clusters * tc
+    # per-tri rows: w[t, k, j<3] = minv[t,k,j] = woop_o[j, 3t+k];
+    # w[t, k, 3] = trans[t,k] = woop_o[3, 3t+k]
+    w_tri = woop_o.reshape(4, n_total, 3).transpose(1, 2, 0)  # [T, 3, 4]
+    w_p = np.zeros((t_pad, 3, 4), np.float32)
+    w_p[:n_real] = w_tri[:n_real]
+    w_p[n_real:, 2, 3] = 1.0          # degenerate: d'_z=0, o'_z=1 → miss
+    # cluster layout expected by the kernel: [C, 3tc, 8] with rows
+    # k*tc + i = component k of tri i; the last dim is the matmul
+    # contraction (x, y, z, 1) padded 4→8 to the sublane tile
+    woop_cl = w_p.reshape(c_clusters, tc, 3, 4).transpose(0, 2, 1, 3) \
+        .reshape(c_clusters, 3 * tc, 4)
+
     attr_p = np.zeros((t_pad, 32), np.float32)
-    attr_p[: attr.shape[0], :24] = attr
-    attr_p[attr.shape[0]:, 19] = -1.0    # padding tris: em_id = -1
+    n_a = min(attr.shape[0], t_pad)
+    attr_p[:n_a, :24] = attr[:n_a]
+    attr_p[n_a:, 19] = -1.0    # padding tris: em_id = -1
 
     mat = np.asarray(scene.mat_params)
     m_pad = max(8, -(-mat.shape[0] // 8) * 8)
@@ -160,12 +188,12 @@ def build_mega_tables(scene: SceneData, tc: int = 64) -> MegaTables:
     else:
         rows[:, 12] = 1e9
     return MegaTables(
-        woop=scene.woop_clusters,
+        woop=jnp.asarray(woop_cl),
         attr=jnp.asarray(attr_p),
         mat=jnp.asarray(mat_p),
         em_rows=jnp.asarray(rows),
         em_count=int(scene.n_emitters),
-        n_tris=int(np.asarray(scene.tri_area).shape[0]),
+        n_tris=n_real,
         tc=tc)
 
 
@@ -176,13 +204,19 @@ def build_mega_tables(scene: SceneData, tc: int = 64) -> MegaTables:
 def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
                   attr_ref=None):
     """In-kernel closest-hit trace over all clusters. Returns t_best [1,B]
-    and, if attr_ref given, the [32, B] selected attribute columns."""
+    and, if attr_ref given, the [32, B] selected attribute columns.
+
+    The Woop ray transform is elementwise VPU work: per cluster, the
+    affine origin transform and linear direction transform are 24
+    broadcast FMAs per triangle-lane — measured faster than the
+    f32-exact (6-pass) MXU matmul formulation, which does 12x the
+    FLOPs (bf16 single-pass is too coarse for the intersection test)."""
     b = ox.shape[-1]
     t_best = jnp.full((1, b), _MISS)
     attr_best = jnp.zeros((32, b)) if attr_ref is not None else None
 
     for c in range(c_clusters):
-        w = woop[c]                          # [3tc, 4]
+        w = woop[c]                                     # [3tc, >=4]
 
         def comp(k):
             w0 = w[k * tc:(k + 1) * tc, 0:1]

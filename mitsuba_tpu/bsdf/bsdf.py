@@ -701,6 +701,9 @@ def resolve_params(scene: S.SceneData, mat_id, uv=None):
     mid = jnp.maximum(mat_id, 0)
     params = scene.mat_params[mid]
     mtype = params[..., 12].astype(jnp.int32)
+    if uv is not None:
+        params = params.at[..., 22].set(uv[..., 0])
+        params = params.at[..., 23].set(uv[..., 1])
     if uv is not None and scene.tex_meta.shape[0] > 1:
         from ..texture.texture import eval_texture
         alb_tex = params[..., 13].astype(jnp.int32)
@@ -802,7 +805,12 @@ class MatInfo(NamedTuple):
 
 def _has_composite(families):
     return families is None or (S.MAT_MIXTURE in families
-                                or S.MAT_COATING in families)
+                                or S.MAT_COATING in families
+                                or S.MAT_ROUGH_COATING in families)
+
+
+def _has_rough_coat(families):
+    return families is None or S.MAT_ROUGH_COATING in families
 
 
 def _tex_override(scene, params, uv, lod_extent=None):
@@ -811,6 +819,10 @@ def _tex_override(scene, params, uv, lod_extent=None):
 
     lod_extent: optional per-lane uv-space footprint extent — converted
     to a mip level per texture (TMIPMap trilinear; footprint.py LoD)."""
+    if uv is not None:
+        # uv rides in slots 22:24 for uv-driven families (irawan cloth)
+        params = params.at[..., 22].set(uv[..., 0])
+        params = params.at[..., 23].set(uv[..., 1])
     if uv is None or scene.tex_meta.shape[0] <= 1:
         return params
     from ..texture.texture import MAX_MIPS, eval_texture
@@ -854,7 +866,8 @@ def resolve_material(scene: S.SceneData, mat_id, uv=None,
         crow = _tex_override(scene, crow, uv, lod_extent)
         return crow[..., 12].astype(jnp.int32), crow
 
-    is_comp = (mtype == S.MAT_MIXTURE) | (mtype == S.MAT_COATING)
+    is_comp = ((mtype == S.MAT_MIXTURE) | (mtype == S.MAT_COATING)
+               | (mtype == S.MAT_ROUGH_COATING))
     ta, pa = child(18)
     tb, pb = child(19)
     mtype_a = jnp.where(is_comp, ta, mtype)
@@ -922,18 +935,18 @@ def _coating_pdf(mat: MatInfo, wi, wo, families):
         / jnp.maximum((eta * eta) * jnp.abs(_cos_theta(wo_in)), 1e-9)
 
 
-def _coating_sample(mat: MatInfo, wi, u2, u1, families):
+def _coat_nested_sample(mat: MatInfo, wi, u2, u1, fi, families):
+    """Sample the nested child through the coat interface. u1 is the raw
+    lobe-choice number; fi = F(wi) the coat pick probability. Returns
+    (wo_n, w_nested, pdf_nested, ok_n, delta_n) where pdf_nested includes
+    the (1-fi) selection probability and the refraction Jacobian."""
     p = mat.params
     eta = jnp.maximum(p[..., 0], 1.0 + 1e-4)
-    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
-    pick_spec = u1 < fi
-    # delta coat reflection
-    wo_s = reflect(wi)
-    # nested branch: rescale u1 for the child's own lobe choice
+    # rescale u1 for the child's own lobe choice
     u1_n = jnp.clip((u1 - fi) / jnp.maximum(1.0 - fi, 1e-6), 0.0,
                     1.0 - 1e-6)
     wi_in = _coat_refract_in(wi, eta)
-    wo_n_in, w_n, pdf_n, delta_n, eta_n = _dispatch_sample(
+    wo_n_in, w_n, pdf_n, delta_n, _ = _dispatch_sample(
         mat.mtype_a, mat.params_a, wi_in, u2, u1_n, families)
     # refract the nested sample back out: sinθ = η sinθ' (TIR ⇒ dead)
     xy = wo_n_in[..., 0:2] * eta[..., None]
@@ -948,6 +961,18 @@ def _coating_sample(mat: MatInfo, wi, u2, u1, families):
     pdf_nested = (1.0 - fi) * pdf_n * jnp.abs(_cos_theta(wo_n)) \
         / jnp.maximum((eta * eta) * jnp.abs(_cos_theta(wo_n_in)), 1e-9)
     ok_n = ~tir & (pdf_n > 0)
+    return wo_n, w_nested, pdf_nested, ok_n, delta_n
+
+
+def _coating_sample(mat: MatInfo, wi, u2, u1, families):
+    p = mat.params
+    eta = jnp.maximum(p[..., 0], 1.0 + 1e-4)
+    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
+    pick_spec = u1 < fi
+    # delta coat reflection
+    wo_s = reflect(wi)
+    wo_n, w_nested, pdf_nested, ok_n, delta_n = _coat_nested_sample(
+        mat, wi, u2, u1, fi, families)
 
     wo = jnp.where(pick_spec[..., None], wo_s, wo_n)
     weight = jnp.where(pick_spec[..., None],
@@ -956,6 +981,79 @@ def _coating_sample(mat: MatInfo, wi, u2, u1, families):
     pdf = jnp.where(pick_spec, fi, jnp.where(ok_n, pdf_nested, 0.0))
     is_delta = pick_spec | (~pick_spec & delta_n)
     return wo, weight, pdf, is_delta, jnp.ones(wi.shape[:-1])
+
+
+# -- rough-coating (ref: src/bsdfs/roughcoating.cpp) -------------------------
+# A microfacet-roughened dielectric layer over a nested BSDF. The coat
+# reflection is a GGX/Beckmann lobe (visible-normal sampled); the nested
+# interaction reuses the smooth coat's refraction bending + absorption
+# (the reference also refracts through the macro normal,
+# roughcoating.cpp `refractTo`). Both lobes are smooth, so sample()
+# returns MIS-consistent eval/pdf weights except for delta children.
+
+def _rough_coat_spec_eval(p, wi, wo):
+    """f·cosθo of the rough coat reflection lobe (upper hemisphere)."""
+    alpha = mf.clamp_alpha(p[..., 9])
+    dist = p[..., 11]
+    h = normalize(wi + wo)
+    d = mf.eval_d(h, alpha, alpha, dist)
+    f, _, _, _ = fresnel_dielectric(
+        dot(wi, h), jnp.maximum(p[..., 0], 1.0 + 1e-4))
+    g = mf.smith_g(wi, wo, h, alpha, alpha, dist)
+    ci = _cos_theta(wi)
+    val = p[..., 4] * f * d * g / jnp.maximum(4.0 * jnp.abs(ci), 1e-7)
+    return jnp.where((ci > 0) & (_cos_theta(wo) > 0), val, 0.0)
+
+
+def _rough_coat_spec_pdf(p, wi, wo):
+    alpha = mf.clamp_alpha(p[..., 9])
+    dist = p[..., 11]
+    h = normalize(wi + wo)
+    pdf_h = mf.pdf_visible(wi, h, alpha, alpha, dist)
+    pdf = pdf_h / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-7)
+    return jnp.where((_cos_theta(wi) > 0) & (_cos_theta(wo) > 0), pdf, 0.0)
+
+
+def _roughcoating_eval(mat: MatInfo, wi, wo, families):
+    spec = _rough_coat_spec_eval(mat.params, wi, wo)
+    return _coating_eval(mat, wi, wo, families) + spec[..., None]
+
+
+def _roughcoating_pdf(mat: MatInfo, wi, wo, families):
+    eta = jnp.maximum(mat.params[..., 0], 1.0 + 1e-4)
+    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
+    return (fi * _rough_coat_spec_pdf(mat.params, wi, wo)
+            + _coating_pdf(mat, wi, wo, families))
+
+
+def _roughcoating_sample(mat: MatInfo, wi, u2, u1, families):
+    p = mat.params
+    alpha = mf.clamp_alpha(p[..., 9])
+    dist = p[..., 11]
+    eta = jnp.maximum(p[..., 0], 1.0 + 1e-4)
+    fi, _, _, _ = fresnel_dielectric(_cos_theta(wi), eta)
+    pick_spec = u1 < fi
+    m = mf.sample_visible(wi, u2, alpha, alpha, dist)
+    wo_s = 2.0 * dot(wi, m)[..., None] * m - wi
+    wo_n, w_nested, pdf_nested, ok_n, delta_n = _coat_nested_sample(
+        mat, wi, u2, u1, fi, families)
+
+    wo = jnp.where(pick_spec[..., None], wo_s, wo_n)
+    # smooth lanes: full combined eval/pdf (MIS-correct across both lobes)
+    f_all = _roughcoating_eval(mat, wi, wo, families)
+    pdf_all = _roughcoating_pdf(mat, wi, wo, families)
+    w_smooth = jnp.where(pdf_all[..., None] > 1e-9,
+                         f_all / jnp.maximum(pdf_all, 1e-9)[..., None], 0.0)
+    nested_delta = ~pick_spec & delta_n
+    weight = jnp.where(nested_delta[..., None],
+                       jnp.where(ok_n[..., None], w_nested, 0.0), w_smooth)
+    pdf = jnp.where(nested_delta,
+                    jnp.where(ok_n, pdf_nested, 0.0), pdf_all)
+    # a spec pick below the horizon is a dead sample
+    dead = pick_spec & (_cos_theta(wo_s) <= 0)
+    weight = jnp.where(dead[..., None], 0.0, weight)
+    pdf = jnp.where(dead, 0.0, pdf)
+    return wo, weight, pdf, nested_delta, jnp.ones(wi.shape[:-1])
 
 
 def _dispatch_sample(mtype, params, wi, u2, u1, families):
@@ -997,6 +1095,10 @@ def eval_bsdf_ex(mat: MatInfo, wi, wo, families=None):
     if families is None or S.MAT_COATING in families:
         f_c = _coating_eval(mat, wi_t, wo_t, families)
         f = jnp.where(is_coat[..., None], f_c, f)
+    if _has_rough_coat(families):
+        is_rc = mat.mtype == S.MAT_ROUGH_COATING
+        f_rc = _roughcoating_eval(mat, wi_t, wo_t, families)
+        f = jnp.where(is_rc[..., None], f_rc, f)
     return f
 
 
@@ -1016,6 +1118,10 @@ def pdf_bsdf_ex(mat: MatInfo, wi, wo, families=None):
     if families is None or S.MAT_COATING in families:
         p_c = _coating_pdf(mat, wi_t, wo_t, families)
         p = jnp.where(is_coat, p_c, p)
+    if _has_rough_coat(families):
+        is_rc = mat.mtype == S.MAT_ROUGH_COATING
+        p_rc = _roughcoating_pdf(mat, wi_t, wo_t, families)
+        p = jnp.where(is_rc, p_rc, p)
     return p
 
 
@@ -1077,6 +1183,16 @@ def sample_bsdf_ex(mat: MatInfo, wi, u2, u1, families=None) -> BSDFSample:
         pdf = jnp.where(is_coat, pdf_c, pdf)
         is_delta = jnp.where(is_coat, d_c, is_delta)
         eta = jnp.where(is_coat, eta_c, eta)
+
+    if _has_rough_coat(families):
+        is_rc = mat.mtype == S.MAT_ROUGH_COATING
+        wo_r, wt_r, pdf_r, d_r, eta_r = _roughcoating_sample(
+            mat, wi_t, u2, u1, families)
+        wo = jnp.where(is_rc[..., None], wo_r, wo)
+        weight = jnp.where(is_rc[..., None], wt_r, weight)
+        pdf = jnp.where(is_rc, pdf_r, pdf)
+        is_delta = jnp.where(is_rc, d_r, is_delta)
+        eta = jnp.where(is_rc, eta_r, eta)
 
     wo = jnp.where(flip[..., None], _flip_z(wo), wo)
     return BSDFSample(wo, weight, pdf, is_delta, eta)
@@ -1266,3 +1382,9 @@ _SAMPLERS[S.MAT_HK] = hk_sample
 _SMOOTH_EVAL[S.MAT_TABULATED] = tabulated_eval
 _SMOOTH_PDF[S.MAT_TABULATED] = tabulated_pdf
 _SAMPLERS[S.MAT_TABULATED] = tabulated_sample
+
+from .irawan import irawan_eval, irawan_pdf, irawan_sample  # noqa: E402
+
+_SMOOTH_EVAL[S.MAT_IRAWAN] = irawan_eval
+_SMOOTH_PDF[S.MAT_IRAWAN] = irawan_pdf
+_SAMPLERS[S.MAT_IRAWAN] = irawan_sample

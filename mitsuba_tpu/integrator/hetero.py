@@ -45,6 +45,11 @@ class HeteroVolPathTracer(PathTracer):
     scales each lane's σ and the majorant by the S-matrix bounds.
     """
     sggx: bool = False
+    # Gaussian-fiber microflake medium (ref: src/phase/microflake.cpp):
+    # directional σ via 2·σT(cosθ to the fiber axis), specular flake
+    # mirroring for scattering. Orientation from scene.med_fiber.
+    fiber: bool = False
+    fiber_stddev: float = 0.3
 
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
         return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
@@ -70,6 +75,16 @@ class HeteroVolPathTracer(PathTracer):
             lam_ub = jnp.max(jnp.sum(smat, axis=-1))
             sig_max = jnp.sqrt(jnp.maximum(lam_ub, 1e-12))
             majorant = majorant * sig_max
+        if self.fiber:
+            import numpy as _np
+            from ..phase.phase import (fiber_sigma_t_table,
+                                       microflake_eval,
+                                       microflake_sample,
+                                       microflake_sigma_dir)
+            ftab_np = fiber_sigma_t_table(self.fiber_stddev)
+            ftab = jnp.asarray(ftab_np)
+            fdir = scene.med_fiber
+            majorant = majorant * (2.0 * float(_np.max(ftab_np)))
 
         def bounce_body(carry, bounce):
             (o, d, throughput, L, active, eta_scale, prev_pdf,
@@ -82,8 +97,12 @@ class HeteroVolPathTracer(PathTracer):
             bits = rng.hash_u32(seed, pixel_id,
                                 bounce_dim(bounce, DIM_MEDIUM),
                                 sample_idx)[..., 0]
-            sig_dir = (sggx_sigma(s6, d) if self.sggx
-                       else jnp.ones_like(t_surf))
+            if self.sggx:
+                sig_dir = sggx_sigma(s6, d)
+            elif self.fiber:
+                sig_dir = microflake_sigma_dir(ftab, fdir, d)
+            else:
+                sig_dir = jnp.ones_like(t_surf)
             sampled, t_med, sig_ev = sample_distance_woodcock(
                 grid, bb_min, bb_ext, sigma_scale * sig_dir, majorant,
                 o, d, t_surf, bits)
@@ -136,6 +155,9 @@ class HeteroVolPathTracer(PathTracer):
                                        self.families)
             if self.sggx:
                 f_phase = sggx_specular_eval(s6, -d, ds.d)
+            elif self.fiber:
+                f_phase = microflake_eval(self.fiber_stddev, ftab,
+                                          fdir, -d, ds.d)
             else:
                 f_phase = hg_eval(g, dot(-d, ds.d))
             f_nee = jnp.where(in_medium[..., None],
@@ -150,8 +172,12 @@ class HeteroVolPathTracer(PathTracer):
             sh_bits = rng.hash_u32(seed, pixel_id,
                                    bounce_dim(bounce, DIM_PHASE) + 1,
                                    sample_idx)[..., 1]
-            sig_sh = (sggx_sigma(s6, ds.d) if self.sggx
-                      else jnp.ones_like(t_surf))
+            if self.sggx:
+                sig_sh = sggx_sigma(s6, ds.d)
+            elif self.fiber:
+                sig_sh = microflake_sigma_dir(ftab, fdir, ds.d)
+            else:
+                sig_sh = jnp.ones_like(t_surf)
             tr_sh = transmittance_ratio(
                 grid, bb_min, bb_ext, sigma_scale * sig_sh, majorant,
                 so, ds.d, jnp.minimum(ds.dist, 1e4),
@@ -176,6 +202,10 @@ class HeteroVolPathTracer(PathTracer):
                             bounce_dim(bounce, DIM_PHASE))
             if self.sggx:
                 d_phase, pdf_phase = sggx_specular_sample(s6, -d, u_ph)
+            elif self.fiber:
+                d_phase, pdf_phase = microflake_sample(
+                    self.fiber_stddev, ftab,
+                    jnp.broadcast_to(fdir, d.shape), -d, u_ph, u1)
             else:
                 d_phase, pdf_phase = hg_sample(g, -d, u_ph)
             d_next = jnp.where(in_medium[..., None], d_phase, d_bsdf)

@@ -18,7 +18,9 @@ phase is f(wi→wo) = D_vis(h) / (4 σ(wi)) with h the half vector
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.math import Frame
 from ..core.warp import INV_FOUR_PI
@@ -241,3 +243,146 @@ def mixture_hg_sample(w1, g1, g2, wi, u2, u1):
     ct = jnp.sum(wi * wo, axis=-1)
     pdf = w1 * hg_eval(g1, ct) + (1.0 - w1) * hg_eval(g2, ct)
     return wo, pdf
+
+
+# ---------------------------------------------------------------------------
+# microflake fiber phase (ref: src/phase/microflake.cpp +
+# microflake_fiber.h — Zhao et al. 2011 Gaussian fiber distribution).
+#
+# Flake normals follow D(m) ∝ exp(-cos²θ/(2σ²)) concentrated in the plane
+# perpendicular to the local fiber axis. The reference precomputes σT
+# series expansions offline and samples cosθ with a Brent solver inside a
+# rejection loop; TPU-native replacements:
+#   * σT(cosθ) = ∫ D(m)|ω·m| dm is tabulated by numpy quadrature at
+#     construction (fiber_sigma_t_table) and linearly interpolated;
+#   * cosθ sampling inverts the erf CDF in closed form via erfinv
+#     (microflake_fiber.h:256 uses BrentSolver on the same CDF);
+#   * the visible-flake rejection (accept ∝ |wi·m|, microflake.cpp:146)
+#     runs a FIXED number of unrolled masked rounds — lanes that never
+#     accept return pdf 0, mirroring the reference's give-up path.
+# ---------------------------------------------------------------------------
+
+PHASE_MICROFLAKE = 6
+
+_SQRT2 = 1.4142135623730951
+
+
+def fiber_norm(stddev: float) -> float:
+    """Normalization of D (microflake_fiber.h:206)."""
+    import math as _m
+    return 1.0 / ((2.0 * _m.pi) ** 1.5 * stddev
+                  * _m.erf(1.0 / (_SQRT2 * stddev)))
+
+
+def fiber_sigma_t_table(stddev: float, n: int = 64,
+                        nq: int = 256) -> np.ndarray:
+    """σT(cosθ) over cosθ ∈ [0, 1]: numpy Gauss-Legendre × trapezoid
+    quadrature of ∫ D(m)|ω·m| dm (replaces the reference's shipped
+    fiberSigmaTCoeffs expansion tables)."""
+    norm = fiber_norm(stddev)
+    mu, wmu = np.polynomial.legendre.leggauss(nq)      # cosθ_m nodes
+    phi = np.linspace(0.0, 2.0 * np.pi, nq, endpoint=False)
+    dphi = 2.0 * np.pi / nq
+    sin_m = np.sqrt(np.maximum(1.0 - mu ** 2, 0.0))
+    d_m = norm * np.exp(-mu ** 2 / (2.0 * stddev ** 2))   # [nq]
+    cos_w = np.linspace(0.0, 1.0, n)
+    sin_w = np.sqrt(np.maximum(1.0 - cos_w ** 2, 0.0))
+    # |w·m| = |sinθw sinθm cosφ + cosθw cosθm|
+    dots = np.abs(sin_w[:, None, None] * sin_m[None, :, None]
+                  * np.cos(phi)[None, None, :]
+                  + cos_w[:, None, None] * mu[None, :, None])
+    tab = (d_m[None, :, None] * dots * wmu[None, :, None]).sum(
+        axis=(1, 2)) * dphi
+    return tab.astype(np.float32)
+
+
+def _fiber_sigma_t(table, cos_theta):
+    """Linear interp of the σT table at |cosθ|."""
+    n = table.shape[0]
+    x = jnp.clip(jnp.abs(cos_theta), 0.0, 1.0) * (n - 1)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
+    f = x - i0
+    return table[i0] * (1.0 - f) + table[i0 + 1] * f
+
+
+def microflake_eval(stddev, table, fiber, wi, wo):
+    """Phase value (== pdf) for directions wi (toward viewer) and wo.
+    fiber: [.., 3] local fiber orientation (zero ⇒ value 0,
+    microflake.cpp:106-113)."""
+    h = wi + wo
+    hlen = jnp.sqrt(jnp.sum(h * h, axis=-1))
+    flen = jnp.sqrt(jnp.sum(fiber * fiber, axis=-1))
+    cos_h = jnp.sum(h * fiber, axis=-1) \
+        / jnp.maximum(hlen * jnp.maximum(flen, 1e-9), 1e-9)
+    cos_i = jnp.sum(wi * fiber, axis=-1) / jnp.maximum(flen, 1e-9)
+    d_h = jnp.exp(-cos_h ** 2 / (2.0 * stddev ** 2)) * fiber_norm(stddev)
+    val = 0.5 * d_h / jnp.maximum(_fiber_sigma_t(table, cos_i), 1e-9)
+    return jnp.where((hlen > 1e-9) & (flen > 1e-9), val, 0.0)
+
+
+def microflake_sigma_dir(table, fiber, d):
+    """Directional extinction coefficient 2·σT(cosθ) — scaled so an
+    isotropic flake distribution matches an isotropic medium
+    (microflake.cpp:183-190)."""
+    flen = jnp.sqrt(jnp.sum(fiber * fiber, axis=-1))
+    cos_t = jnp.sum(d * fiber, axis=-1) / jnp.maximum(flen, 1e-9)
+    return jnp.where(flen > 1e-9,
+                     2.0 * _fiber_sigma_t(table, cos_t), 1.0)
+
+
+def _round_u123(bits0, bits1, r):
+    """Three decorrelated uniforms per rejection round, via PCG4D on the
+    (u2-bits, round) counter — weak per-round hashes (e.g. TEA on nearly
+    identical keys) measurably correlate the candidate with its
+    acceptance test and bias the backscatter peak."""
+    from ..core.rng import _to_float, pcg4d
+    ctr = jnp.stack([bits0, bits1, jnp.broadcast_to(
+        jnp.uint32(r), bits0.shape),
+        jnp.broadcast_to(jnp.uint32(0x9E3779B9), bits0.shape)], axis=-1)
+    out = pcg4d(ctr)
+    return (_to_float(out[..., 0]), _to_float(out[..., 1]),
+            _to_float(out[..., 2]))
+
+
+def microflake_sample(stddev, table, fiber, wi, u2, u1, rounds: int = 64):
+    """Sample wo by mirroring wi about a visible flake normal. Returns
+    (wo, pdf). Candidate normals: closed-form erfinv inversion of the
+    cosθ CDF (CDF(c) = ½(1 + erf(c/√2σ)/erf(1/√2σ)),
+    microflake_fiber.h:288); visibility rejection |wi·m| over `rounds`
+    unrolled masked rounds."""
+    from jax.scipy.special import erfinv
+    import math as _m
+    flen = jnp.sqrt(jnp.sum(fiber * fiber, axis=-1, keepdims=True))
+    axis = fiber / jnp.maximum(flen, 1e-9)
+    s_f, t_f, n_f = Frame.from_normal(axis)
+    wi_l = jnp.stack([jnp.sum(wi * s_f, axis=-1),
+                      jnp.sum(wi * t_f, axis=-1),
+                      jnp.sum(wi * n_f, axis=-1)], axis=-1)
+    c1 = _m.erf(1.0 / (_SQRT2 * stddev))
+    bits0 = jax.lax.bitcast_convert_type(u2[..., 0], jnp.uint32)
+    bits1 = jax.lax.bitcast_convert_type(
+        u2[..., 1] + u1, jnp.uint32)
+
+    accepted = jnp.zeros(wi_l.shape[:-1], bool)
+    h_best = jnp.concatenate(
+        [jnp.zeros_like(wi_l[..., :2]), jnp.ones_like(wi_l[..., :1])],
+        axis=-1)
+    for r in range(rounds):
+        x1, x2, x3 = _round_u123(bits0, bits1, r)
+        cos_t = _SQRT2 * stddev * erfinv((2.0 * x1 - 1.0) * c1)
+        cos_t = jnp.clip(cos_t, -1.0, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t ** 2, 0.0))
+        phi = 2.0 * jnp.pi * x2
+        h = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                       cos_t], axis=-1)
+        acc = x3 < jnp.abs(jnp.sum(wi_l * h, axis=-1))
+        take = acc & ~accepted
+        h_best = jnp.where(take[..., None], h, h_best)
+        accepted = accepted | acc
+    wo_l = 2.0 * jnp.sum(wi_l * h_best, axis=-1, keepdims=True) \
+        * h_best - wi_l
+    wo = (wo_l[..., 0:1] * s_f + wo_l[..., 1:2] * t_f
+          + wo_l[..., 2:3] * n_f)
+    pdf = microflake_eval(stddev, table, fiber, wi, wo)
+    ok = accepted & (flen[..., 0] > 1e-9)
+    return jnp.where(ok[..., None], wo, 0.0), jnp.where(ok, pdf, 0.0)

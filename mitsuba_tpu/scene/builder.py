@@ -61,6 +61,8 @@ class Material:
     g: float = 0.0                                    # hk phase asymmetry
     table_id: int = 0                                 # tabulated BSDF index
     table_scale: float = 1.0
+    repeat_u: float = 1.0                             # irawan weave tiling
+    repeat_v: float = 1.0
 
     _KINDS = {
         "diffuse": S.MAT_DIFFUSE, "conductor": S.MAT_CONDUCTOR,
@@ -74,6 +76,8 @@ class Material:
         "mixturebsdf": S.MAT_MIXTURE, "blendbsdf": S.MAT_MIXTURE,
         "mask": S.MAT_MIXTURE, "coating": S.MAT_COATING,
         "hk": S.MAT_HK, "tabulated": S.MAT_TABULATED,
+        "roughcoating": S.MAT_ROUGH_COATING,
+        "irawan": S.MAT_IRAWAN,
     }
 
     def compile(self):
@@ -123,11 +127,16 @@ class Material:
                 p[18], p[19] = float(self.child_a), float(self.child_b)
                 p[20] = self.weight
             p[21] = float(self.weight_texture)
-        elif code == S.MAT_COATING:
+        elif code in (S.MAT_COATING, S.MAT_ROUGH_COATING):
             p[0] = self.int_ior / self.ext_ior
             p[1:4] = np.asarray(self.sigma_a, np.float64) * self.thickness
             p[4] = 1.0
+            p[9], p[11] = self.alpha, dist
             p[18] = float(self.child_a)
+        elif code == S.MAT_IRAWAN:
+            p[0] = float(self.table_id)      # weave-pattern pool index
+            p[1] = self.repeat_u
+            p[2] = self.repeat_v
         elif code == S.MAT_HK:
             p[0:3] = self.sigma_s
             p[3:6] = self.sigma_a
@@ -232,6 +241,10 @@ class Medium:
     # SGGX microflake S-matrix [Sxx,Syy,Szz,Sxy,Sxz,Syz] (winmad
     # anisotropic media, heterogeneous2/3 + SGGX phase); None = isotropic
     sggx_s: Sequence[float] = None
+    # Gaussian-fiber microflake orientation (src/phase/microflake.cpp);
+    # None = no fiber phase. Use HeteroVolPathTracer(fiber=True,
+    # fiber_stddev=...) to enable.
+    fiber_orientation: Sequence[float] = None
 
 
 @dataclass
@@ -247,6 +260,13 @@ class SceneDesc:
     medium: Optional[Medium] = None
     textures: list = field(default_factory=list)   # numpy [H, W, 3] images
     bsdf_tables: list = field(default_factory=list)  # [n_ti,n_to,n_phi,3]
+    weave_patterns: list = field(default_factory=list)  # irawan WeavePattern
+
+    def add_weave_pattern(self, pattern) -> int:
+        """Register an irawan weave pattern; returns its pool index for
+        Material(kind='irawan', table_id=...)."""
+        self.weave_patterns.append(pattern)
+        return len(self.weave_patterns) - 1
 
     def add_material(self, **kw) -> int:
         self.materials.append(Material(**kw))
@@ -535,6 +555,8 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
     i32 = lambda x: jnp.asarray(x, jnp.int32)
     # bind tabulated-BSDF tables (compile-time constants; see
     # bsdf/tabulated_pool.py)
+    from ..bsdf import irawan as irawan_mod
+    irawan_mod.register_patterns(desc.weave_patterns or None)
     if desc.bsdf_tables:
         from ..bsdf import tabulated_pool
         tabulated_pool.register_tables(np.stack(
@@ -575,4 +597,9 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
             np.zeros(6, np.float32) if (desc.medium is None
                                         or desc.medium.sggx_s is None)
             else np.asarray(desc.medium.sggx_s, np.float32)),
+        med_fiber=jnp.asarray(
+            np.zeros(3, np.float32)
+            if (desc.medium is None
+                or desc.medium.fiber_orientation is None)
+            else np.asarray(desc.medium.fiber_orientation, np.float32)),
     )

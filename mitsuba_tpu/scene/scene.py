@@ -38,7 +38,11 @@ MAT_COATING = 14          # smooth dielectric coat over a nested BSDF
 MAT_HK = 15               # Hanrahan-Krueger thin slab (src/bsdfs/hk.cpp)
 MAT_TABULATED = 16        # winmad tabulated BSDF (tabulated_bsdf.cpp:16)
 #                           (ref: src/bsdfs/coating.cpp)
-N_MAT_TYPES = 17
+MAT_ROUGH_COATING = 17    # microfacet-rough dielectric layer over a nested
+                          # BSDF (ref: src/bsdfs/roughcoating.cpp)
+MAT_IRAWAN = 18           # Irawan-Marschner woven cloth
+                          # (ref: src/bsdfs/irawan.{h,cpp})
+N_MAT_TYPES = 19
 
 # Emitter type codes (ref: EEmitterType emitter.h:76)
 EM_AREA = 0
@@ -67,6 +71,10 @@ EM_SPOT = 5
 #                   blend = texture-driven weight)
 # coating:          [0] eta ratio, [1:4] sigmaA·thickness, [4] coat
 #                   specular-reflectance scale, [18] nested child row id
+# rough_coating:    as coating + [9] alpha, [11] dist type
+# irawan:           [0] weave-pattern pool index (bsdf/irawan_pool.py),
+#                   [1] repeatU, [2] repeatV, [22:24] uv (written per-lane
+#                   by resolve_material — the weave eval is uv-driven)
 # all:              [12] type code, [13] albedo-tex id, [14] roughness-tex id
 #                   [15] two-sided flag, [16] normal/bump-map tex id,
 #                   [17] bump scale (0 ⇒ slot 16 is a tangent-space normal
@@ -153,6 +161,9 @@ class SceneData(NamedTuple):
     # SGGX microflake medium (winmad heterogeneous2/3): packed S matrix
     # [Sxx,Syy,Szz,Sxy,Sxz,Syz]; zeros ⇒ isotropic medium (disabled)
     med_sggx: jnp.ndarray = None
+    # Gaussian-fiber microflake orientation [3] (ref: src/phase/
+    # microflake.cpp); zeros ⇒ no fiber medium
+    med_fiber: jnp.ndarray = None
 
     @property
     def n_tris(self):

@@ -233,6 +233,20 @@ def load_xml(path: str, parameters: dict | None = None,
 
     def parse_bsdf(elem) -> int:
         btype = elem.get("type")
+        if btype == "irawan":
+            # woven cloth: weave-pattern DSL file + repeat counts
+            # (ref: src/bsdfs/irawan.cpp:25-54)
+            from ..bsdf.irawan import parse_weave
+            p = _props(elem, params)
+            text = open(os.path.join(base, p["filename"])).read()
+            pid = desc.add_weave_pattern(parse_weave(text, params))
+            mid = desc.add_material(
+                kind="irawan", table_id=pid,
+                repeat_u=float(p.get("repeatU", 1.0)),
+                repeat_v=float(p.get("repeatV", 1.0)))
+            if elem.get("id"):
+                named_materials[elem.get("id")] = mid
+            return mid
         if btype == "twosided":
             inner = elem.find("bsdf")
             if inner is not None:
@@ -255,7 +269,8 @@ def load_xml(path: str, parameters: dict | None = None,
             if elem.get("id"):
                 named_materials[elem.get("id")] = mid
             return mid
-        if btype in ("mixturebsdf", "blendbsdf", "mask", "coating"):
+        if btype in ("mixturebsdf", "blendbsdf", "mask", "coating",
+                     "roughcoating"):
             p = _props(elem, params)
             children = [parse_bsdf(b) for b in elem.findall("bsdf")]
             for r in elem.findall("ref"):
@@ -273,11 +288,15 @@ def load_xml(path: str, parameters: dict | None = None,
                 op = p.get("opacity", (0.5, 0.5, 0.5))
                 kw["weight"] = (float(np.mean(op))
                                 if not np.isscalar(op) else float(op))
-            else:  # coating
+            else:  # coating / roughcoating
                 kw["int_ior"] = float(p.get("intIOR", 1.5046))
                 kw["ext_ior"] = float(p.get("extIOR", 1.000277))
                 kw["sigma_a"] = p.get("sigmaA", (0.0, 0.0, 0.0))
                 kw["thickness"] = float(p.get("thickness", 1.0))
+                if btype == "roughcoating":
+                    kw["alpha"] = float(p.get("alpha", 0.1))
+                    kw["distribution"] = str(
+                        p.get("distribution", "ggx"))
             for tex in elem.findall("texture"):
                 timg = _parse_texture(tex)
                 if timg is not None:

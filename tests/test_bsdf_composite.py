@@ -209,3 +209,65 @@ def test_normal_map_changes_shading():
                              integ2, spp=8, seed=0))
     assert np.isfinite(img).all()
     assert np.abs(img - img2).mean() > 1e-3   # shading visibly changed
+
+
+def test_roughcoating_consistency_and_energy():
+    """Rough coat over diffuse: sample weight == eval/pdf on smooth lanes,
+    energy bounded, reflection lobe concentrates near the mirror direction
+    (ref: src/bsdfs/roughcoating.cpp)."""
+    child = Material(kind="diffuse", albedo=(0.9, 0.9, 0.9))
+    coat = Material(kind="roughcoating", child_a=0, int_ior=1.5,
+                    ext_ior=1.0, alpha=0.1)
+    desc = _mk_desc(child, coat)
+    n = 16384
+    scene, mat = _mat_info(desc, 1, n)
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.5, 0.8660254]), (n, 3))
+    u2 = rng.sample_2d(7, jnp.arange(n), 0)
+    u1 = rng.sample_1d(7, jnp.arange(n), 1)
+    bs = B.sample_bsdf_ex(mat, wi, u2, u1)
+    w = np.asarray(bs.weight)
+    assert np.isfinite(w).all() and (w >= 0).all()
+    assert (w.mean(axis=0) < 1.05).all()
+    # live smooth lanes: nested picks that TIR on the way out are dropped
+    # (as in the smooth coat); survivors ≈ F + (1-F)/η² ≈ 0.47 for η=1.5
+    smooth = ~np.asarray(bs.is_delta) & (np.asarray(bs.pdf) > 1e-5)
+    assert 0.38 < smooth.mean() < 0.6
+    f = np.asarray(B.eval_bsdf_ex(mat, wi, bs.wo))[smooth]
+    p = np.asarray(bs.pdf)[smooth]
+    np.testing.assert_allclose(f / p[:, None], w[smooth],
+                               rtol=5e-3, atol=1e-3)
+    # spec-lobe picks (u1 < F(wi)) land near the mirror direction
+    mirror = np.asarray([0.0, -0.5, 0.8660254])
+    cosm = np.asarray(bs.wo) @ mirror
+    near = (cosm > 0.9).mean()
+    assert near > 0.02                    # a visible glossy highlight
+
+
+def test_roughcoating_chi2_sample_pdf():
+    """Chi-square GOF: roughcoating sampled directions match its pdf
+    (the reference's test_chisquare.cpp strategy)."""
+    from mitsuba_tpu.core import chi2
+    child = Material(kind="roughconductor", alpha=0.3)
+    coat = Material(kind="roughcoating", child_a=0, int_ior=1.5,
+                    ext_ior=1.0, alpha=0.2)
+    desc = _mk_desc(child, coat)
+    theta = 0.7
+    wi1 = np.array([np.sin(theta), 0.0, np.cos(theta)], np.float32)
+
+    def sample_fn(n):
+        scene, mat = _mat_info(desc, 1, n)
+        wib = jnp.broadcast_to(jnp.asarray(wi1), (n, 3))
+        u2 = rng.sample_2d(11, np.arange(n), 0)
+        u1 = rng.sample_1d(11, np.arange(n), 1)
+        bs = B.sample_bsdf_ex(mat, wib, u2, u1)
+        ok = (bs.pdf > 0) & ~bs.is_delta
+        return np.asarray(jnp.where(ok[..., None], bs.wo, 0.0))
+
+    def pdf_fn(dirs):
+        n = dirs.shape[0]
+        scene, mat = _mat_info(desc, 1, n)
+        wib = jnp.broadcast_to(jnp.asarray(wi1), (n, 3))
+        return np.asarray(B.pdf_bsdf_ex(mat, wib, jnp.asarray(dirs)))
+
+    passed, stats = chi2.chi2_test(sample_fn, pdf_fn, n_samples=200_000)
+    assert passed, stats
