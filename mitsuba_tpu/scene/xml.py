@@ -62,6 +62,7 @@ class LoadedScene:
         from ..integrator.dipole import DipoleIntegrator
         from ..integrator.erpt import ERPT
         from ..integrator.irrcache import IrrCacheIntegrator
+        from ..integrator.mlt import MLT
         from ..integrator.pssmlt import PSSMLT
         from ..integrator.ptracer import ParticleTracer
         from ..integrator.volpath import VolPathTracer
@@ -87,9 +88,8 @@ class LoadedScene:
                "ptracer": ParticleTracer, "prb": PRBPathTracer,
                "photonmapper": PhotonMapper,
                "ppm": PhotonMapper, "sppm": PhotonMapper,
-               "pssmlt": PSSMLT, "mlt": PSSMLT,   # path-space MLT served
-               # by the PSS chain family (libbidir mutators are a non-goal
-               # this round; SURVEY §7)
+               "pssmlt": PSSMLT,
+               "mlt": MLT,       # path-space Veach mutations (mlt.py)
                "erpt": ERPT,
                "irrcache": IrrCacheIntegrator,
                "dipole": DipoleIntegrator,
@@ -472,8 +472,8 @@ def load_xml(path: str, parameters: dict | None = None,
                                 "stratified": "stratified",
                                 "ldsampler": "ldsampler",
                                 "halton": "halton",
-                                "hammersley": "halton",
-                                "sobol": "ldsampler"}.get(
+                                "hammersley": "hammersley",
+                                "sobol": "sobol"}.get(
                                     s_el.get("type"), "independent")
                 sp = _props(s_el, params)
                 spp = int(sp.get("sampleCount", 16))
