@@ -65,15 +65,32 @@ class HeteroVolPathTracer(PathTracer):
         bb_ext = scene.med_grid_extent
         majorant = scene.med_majorant
         if self.sggx:
-            from ..phase.phase import (_s_mat, sggx_sigma,
-                                       sggx_specular_eval,
+            from ..phase.phase import (_s_mat, sggx_mix_sigma,
+                                       sggx_mix_specular_eval,
+                                       sggx_mix_specular_sample,
+                                       sggx_sigma, sggx_specular_eval,
                                        sggx_specular_sample)
             s6 = scene.med_sggx
-            # majorant σ bound: λ_max(S) ≤ max Gershgorin row sum (cheap
-            # and TPU-safe; eigendecomposition doesn't lower to XLA:TPU)
-            smat = jnp.abs(_s_mat(s6))
-            lam_ub = jnp.max(jnp.sum(smat, axis=-1))
-            sig_max = jnp.sqrt(jnp.maximum(lam_ub, 1e-12))
+            if s6.ndim == 2:
+                # multi-lobe mixture [K, 7] = (w, S6) per lobe
+                # (ref: heterogeneous{2,3}.cpp multi-lobe SGGX media)
+                smat = jnp.abs(_s_mat(s6[:, 1:]))
+                lam_ub = jnp.max(jnp.sum(smat, axis=-1), axis=-1)
+                sig_max = jnp.sum(
+                    s6[:, 0] * jnp.sqrt(jnp.maximum(lam_ub, 1e-12)))
+                sggx_sig = lambda dd: sggx_mix_sigma(s6, dd)
+                sggx_eval = lambda a, b: sggx_mix_specular_eval(s6, a, b)
+                sggx_smp = lambda a, u: sggx_mix_specular_sample(s6, a, u)
+            else:
+                # majorant σ bound: λ_max(S) ≤ max Gershgorin row sum
+                # (cheap and TPU-safe; eigendecomposition doesn't lower
+                # to XLA:TPU)
+                smat = jnp.abs(_s_mat(s6))
+                lam_ub = jnp.max(jnp.sum(smat, axis=-1))
+                sig_max = jnp.sqrt(jnp.maximum(lam_ub, 1e-12))
+                sggx_sig = lambda dd: sggx_sigma(s6, dd)
+                sggx_eval = lambda a, b: sggx_specular_eval(s6, a, b)
+                sggx_smp = lambda a, u: sggx_specular_sample(s6, a, u)
             majorant = majorant * sig_max
         if self.fiber:
             import numpy as _np
@@ -98,7 +115,7 @@ class HeteroVolPathTracer(PathTracer):
                                 bounce_dim(bounce, DIM_MEDIUM),
                                 sample_idx)[..., 0]
             if self.sggx:
-                sig_dir = sggx_sigma(s6, d)
+                sig_dir = sggx_sig(d)
             elif self.fiber:
                 sig_dir = microflake_sigma_dir(ftab, fdir, d)
             else:
@@ -154,7 +171,7 @@ class HeteroVolPathTracer(PathTracer):
             pdf_surf_nee = pdf_bsdf_ex(mat, wi_local, wo_nee,
                                        self.families)
             if self.sggx:
-                f_phase = sggx_specular_eval(s6, -d, ds.d)
+                f_phase = sggx_eval(-d, ds.d)
             elif self.fiber:
                 f_phase = microflake_eval(self.fiber_stddev, ftab,
                                           fdir, -d, ds.d)
@@ -173,7 +190,7 @@ class HeteroVolPathTracer(PathTracer):
                                    bounce_dim(bounce, DIM_PHASE) + 1,
                                    sample_idx)[..., 1]
             if self.sggx:
-                sig_sh = sggx_sigma(s6, ds.d)
+                sig_sh = sggx_sig(ds.d)
             elif self.fiber:
                 sig_sh = microflake_sigma_dir(ftab, fdir, ds.d)
             else:
@@ -201,7 +218,7 @@ class HeteroVolPathTracer(PathTracer):
             u_ph = self._d2(seed, pixel_id, sample_idx,
                             bounce_dim(bounce, DIM_PHASE))
             if self.sggx:
-                d_phase, pdf_phase = sggx_specular_sample(s6, -d, u_ph)
+                d_phase, pdf_phase = sggx_smp(-d, u_ph)
             elif self.fiber:
                 d_phase, pdf_phase = microflake_sample(
                     self.fiber_stddev, ftab,

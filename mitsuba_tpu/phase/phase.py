@@ -226,6 +226,72 @@ def sggx_diffuse_eval(s6, wi, wo, u2=None):
 
 
 # ---------------------------------------------------------------------------
+# multi-lobe SGGX mixtures (ref: src/medium/heterogeneous{2,3}.cpp +
+# src/phase/SGGX.cpp — winmad's multi-lobe microflake media, where each
+# voxel carries K weighted SGGX lobes). Lobes are packed [K, 7] =
+# (weight, Sxx, Syy, Szz, Sxy, Sxz, Syz); K is static and small, so the
+# per-lobe work unrolls into fused elementwise ops.
+# ---------------------------------------------------------------------------
+
+def sggx_mix_sigma(s6w, d):
+    """Directional extinction cross-section of a K-lobe microflake
+    mixture: σ(d) = Σ_k w_k σ_k(d) (the phase.h:204-231 sigmaDir
+    interface generalised; heterogeneous2.cpp accumulates lobes the
+    same way)."""
+    K = s6w.shape[-2]
+    return sum(s6w[..., k, 0] * sggx_sigma(s6w[..., k, 1:], d)
+               for k in range(K))
+
+
+def sggx_mix_specular_eval(s6w, wi, wo):
+    """Mixture specular microflake phase:
+    f(wi→wo) = Σ_k w_k σ_k(wi) f_k(wi,wo) / Σ_k w_k σ_k(wi) —
+    each lobe's phase contribution is weighted by its share of the
+    directional extinction (Heitz 2015 §6; heterogeneous3.cpp)."""
+    K = s6w.shape[-2]
+    num = 0.0
+    den = 0.0
+    for k in range(K):
+        wk, s6 = s6w[..., k, 0], s6w[..., k, 1:]
+        sk = wk * sggx_sigma(s6, wi)
+        num = num + sk * sggx_specular_eval(s6, wi, wo)
+        den = den + sk
+    return num / jnp.maximum(den, 1e-12)
+
+
+def sggx_mix_specular_sample(s6w, wi, u2):
+    """Sample the mixture: pick lobe k ∝ w_k σ_k(wi) by inverting the
+    first uniform with sample reuse (the reference's
+    DiscreteDistribution::sampleReuse idiom), then draw that lobe's
+    VNDF-mirrored direction. Perfect importance sampling per lobe makes
+    the overall pdf equal the mixture phase value. Returns (wo, pdf)."""
+    K = s6w.shape[-2]
+    sig = jnp.stack([s6w[..., k, 0] * sggx_sigma(s6w[..., k, 1:], wi)
+                     for k in range(K)], axis=-1)       # [..., K]
+    cdf = jnp.cumsum(sig, axis=-1)
+    tot = jnp.maximum(cdf[..., -1:], 1e-12)
+    cdf = cdf / tot
+    u0 = u2[..., 0:1]
+    k_sel = jnp.sum((u0 >= cdf[..., :-1]).astype(jnp.int32), axis=-1) \
+        if K > 1 else jnp.zeros(u2.shape[:-1], jnp.int32)
+    # sample reuse: rescale u0 within the chosen lobe's cdf span
+    lo = jnp.where(k_sel > 0,
+                   jnp.take_along_axis(
+                       cdf, jnp.maximum(k_sel - 1, 0)[..., None],
+                       axis=-1)[..., 0], 0.0)
+    hi = jnp.take_along_axis(cdf, k_sel[..., None], axis=-1)[..., 0]
+    u0r = jnp.clip((u2[..., 0] - lo) / jnp.maximum(hi - lo, 1e-12),
+                   0.0, 1.0 - 1e-7)
+    u2r = jnp.stack([u0r, u2[..., 1]], axis=-1)
+    wos = jnp.stack([
+        sggx_specular_sample(s6w[..., k, 1:], wi, u2r)[0]
+        for k in range(K)], axis=-2)                    # [..., K, 3]
+    wo = jnp.take_along_axis(wos, k_sel[..., None, None].repeat(3, -1),
+                             axis=-2)[..., 0, :]
+    return wo, sggx_mix_specular_eval(s6w, wi, wo)
+
+
+# ---------------------------------------------------------------------------
 # mixture phase (ref: src/phase/mixturephase.cpp): convex combination
 # ---------------------------------------------------------------------------
 

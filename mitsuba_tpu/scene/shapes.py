@@ -282,3 +282,37 @@ def instance(group: ShapeGroup, to_world: np.ndarray):
     """
     return [(mesh, np.asarray(to_world) @ t, mat)
             for (mesh, t, mat) in group.parts]
+
+
+@dataclass
+class DeformableMesh:
+    """Keyframed vertex animation (ref: src/shapes/deformable.cpp:32-300,
+    SpaceTimeKDTree). The reference builds a 4D space-time SAH kd-tree
+    and lerps the two bracketing keyframes' vertex positions per ray
+    time (deformable.cpp:247-270). TPU redesign: per-ray time would make
+    every intersection data-dependent on t, so the mesh is *evaluated*
+    at the compile-time shutter-slice times used by
+    integrator.motion.render_motion — `at(t)` returns the lerped static
+    Mesh for one slice, and the time axis is integrated by stratified
+    slicing exactly like AnimatedTransform motion (core/track.py).
+    """
+    frames: np.ndarray              # [F, V, 3] keyframed positions
+    faces: np.ndarray               # [F_tri, 3]
+    times: np.ndarray | None = None  # [F] ascending; default linspace 0..1
+    uvs: np.ndarray | None = None
+
+    def at(self, t: float) -> Mesh:
+        """Vertex-lerped static mesh at shutter time t (clamped to the
+        keyframe range, as the reference clamps via math::clamp)."""
+        frames = np.asarray(self.frames, np.float64)
+        F = frames.shape[0]
+        times = (np.asarray(self.times, np.float64) if self.times
+                 is not None else np.linspace(0.0, 1.0, F))
+        t = float(np.clip(t, times[0], times[-1]))
+        i = int(np.clip(np.searchsorted(times, t, side="right") - 1,
+                        0, F - 2))
+        dt = times[i + 1] - times[i]
+        alpha = 0.0 if dt <= 0 else (t - times[i]) / dt
+        v = (1.0 - alpha) * frames[i] + alpha * frames[i + 1]
+        return Mesh(vertices=v, faces=np.asarray(self.faces),
+                    uvs=self.uvs)
