@@ -15,19 +15,27 @@ import numpy as np
 _EXR_MAGIC = 20000630
 
 
-def write_exr(path: str, img: np.ndarray, annotations: dict | None = None):
-    """Write [H, W, 3] float32 RGB as uncompressed scanline EXR.
+def write_exr(path: str, img: np.ndarray, annotations: dict | None = None,
+              channel_names: list | None = None):
+    """Write [H, W, C] float32 as uncompressed scanline EXR.
 
     annotations: optional {name: str|float|int} written as EXR header
     attributes — the reference's hdrfilm metadata/annotation support
     (ref: hdrfilm.cpp `metadata` properties; renderjob.cpp stores the
-    render time this way, read back by data/scripts/rendertime.py)."""
+    render time this way, read back by data/scripts/rendertime.py).
+    channel_names: explicit per-channel names for multi-channel output
+    (the hdrfilm `channelNames` mechanism used by the multichannel
+    integrator, ref: multichannel.cpp doc example)."""
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
         img = img[:, :, None]
     c = img.shape[2]
-    names = ["Y"] if c == 1 else ["R", "G", "B", "A"][:c]
+    if channel_names is not None:
+        assert len(channel_names) == c, "channel_names must match C"
+        names = list(channel_names)
+    else:
+        names = ["Y"] if c == 1 else ["R", "G", "B", "A"][:c]
     # channels stored alphabetically in EXR
     order = sorted(range(c), key=lambda i: names[i])
 

@@ -65,11 +65,33 @@ class LoadedScene:
         from ..integrator.mlt import MLT
         from ..integrator.pssmlt import PSSMLT
         from ..integrator.ptracer import ParticleTracer
+        from ..integrator.singlescatter import SingleScatterIntegrator
         from ..integrator.volpath import VolPathTracer
         from ..integrator.vpl import VPLIntegrator
         cfg = dict(self.integrator_config)
         kind = cfg.pop("type", "path")
         child_cfg = cfg.pop("child", None)
+        children_cfg = cfg.pop("children", None)
+        if kind == "multichannel":
+            from ..integrator.multichannel import MultiChannelIntegrator
+
+            def mk(cc):
+                cc = dict(cc)
+                k = cc.pop("type", "path")
+                if k == "field":
+                    return FieldIntegrator(**cc)
+                if k == "ao":
+                    return AmbientOcclusion(**cc)
+                if k == "direct":
+                    return DirectIntegrator(**cc)
+                if k == "volpath":
+                    return VolPathTracer(**cc)
+                return PathTracer(**cc)
+
+            kids = tuple(mk(cc) for cc in (children_cfg or []))
+            names = tuple(cc.get("field", cc.get("type", f"ch{i}"))
+                          for i, cc in enumerate(children_cfg or []))
+            return MultiChannelIntegrator(children=kids, names=names)
         if kind == "adaptive":
             child = PathTracer(**child_cfg) if child_cfg else PathTracer()
             kw = {k: cfg[k] for k in ("max_error", "p_value") if k in cfg}
@@ -93,6 +115,7 @@ class LoadedScene:
                "erpt": ERPT,
                "irrcache": IrrCacheIntegrator,
                "dipole": DipoleIntegrator,
+               "singlescatter": SingleScatterIntegrator,
                "vpl": VPLIntegrator}[kind]
         if kind in ("pssmlt", "mlt", "erpt"):
             cfg.pop("rr_depth", None)
@@ -394,16 +417,36 @@ def load_xml(path: str, parameters: dict | None = None,
                              ("pValue", "p_value")):
                 if src in p:
                     integrator_config[dst] = p[src]
-            # nested child integrator (adaptive/irrcache wrappers)
-            child = elem.find("integrator")
-            if child is not None:
+            if "field" in p:
+                integrator_config["field"] = p["field"]
+            if integrator_config["type"] in ("singlescatter", "dipole"):
+                for src, dst in (("sigmaS", "sigma_s"),
+                                 ("sigmaA", "sigma_a"),
+                                 ("g", "g"), ("eta", "eta"),
+                                 ("targetMat", "target_mat"),
+                                 ("fssSamples", "fss_samples"),
+                                 ("singleScatterDepth", "ss_depth")):
+                    if src in p:
+                        v = p[src]
+                        integrator_config[dst] = (tuple(v)
+                                                  if isinstance(v, list)
+                                                  else v)
+            # nested child integrators (adaptive/irrcache wrappers take
+            # one; multichannel takes several — multichannel.cpp)
+            kids = []
+            for child in elem.findall("integrator"):
                 cp = _props(child, params)
                 cc = {"type": child.get("type", "path")}
                 if "maxDepth" in cp:
                     cc["max_depth"] = cp["maxDepth"]
                 if "rrDepth" in cp:
                     cc["rr_depth"] = cp["rrDepth"]
-                integrator_config["child"] = cc
+                if "field" in cp:
+                    cc["field"] = cp["field"]
+                kids.append(cc)
+            if kids:
+                integrator_config["child"] = kids[0]
+                integrator_config["children"] = kids
         elif tag == "sensor":
             stype = elem.get("type", "perspective")
             p = _props(elem, params)
