@@ -34,7 +34,7 @@ from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
 BASELINE_RAYS_PER_S = 1e9
 
 WIDTH = HEIGHT = 256
-SPP_PER_PASS = 128        # paths per lane per timed pass
+SPP_PER_PASS = 1024       # paths per lane per timed pass
 N_TIMED_PASSES = 2
 MAX_DEPTH = 8
 
@@ -43,7 +43,7 @@ def _bench_persistent(scene, camera):
     from mitsuba_tpu.integrator.mega import (MegaPathTracer,
                                              render_persistent)
     integ = MegaPathTracer.for_scene(scene, max_depth=MAX_DEPTH,
-                                     block=8192)
+                                     pblock=16384)
     img, n_rays = render_persistent(integ, camera, spp=SPP_PER_PASS,
                                     seed=0)
     jax.block_until_ready(img)

@@ -1,27 +1,42 @@
-"""Per-bounce path-tracing megakernel: one Pallas call per bounce.
+"""Fused path-tracing megakernels: whole bounces (or whole paths) in one
+Pallas program.
 
 The wavefront XLA integrator spends most of its time outside the trace
 kernels — dozens of small elementwise launches (RNG, frames, BSDF math) and
-HBM gathers between them. This kernel fuses an ENTIRE path-tracer bounce
+HBM gathers between them. These kernels fuse an ENTIRE path-tracer bounce
 (closest-hit trace → hit-attribute fetch → shading frame → NEE emitter
 sampling → shadow trace → BSDF sampling → RR) into one Pallas program, with
 all intermediates resident in VMEM:
 
-  * ray/path state is laid out component-major ([row, N]) so every op is a
-    full-width VPU op over the lane dimension;
-  * triangle/material/emitter tables sit in VMEM; per-lane "gathers" become
-    one-hot × table matmuls on the MXU (a [T,B] select mask against a
-    [T, A] attribute table), accumulated cluster-by-cluster inside the
-    trace loop — a TPU-native replacement for scatter/gather hardware;
+  * triangle tables sit in VMEM; per-lane hit-attribute "gathers" become
+    one-hot × table matmuls on the MXU (a [T,B] winner mask against a
+    [T, 8] attribute table) — a TPU-native replacement for scatter/gather
+    hardware;
+  * material/emitter parameter tables sit in SMEM and are folded in with
+    scalar-broadcast select chains (small M by construction);
   * the counter-based PCG4D RNG is evaluated in-kernel (uint32 VPU ops),
     so replayability is preserved bit-for-bit with the XLA path;
   * supported lobe families are compile-time specialized (diffuse,
     conductor, rough-conductor GGX); area/point/constant emitters.
 
-Scenes must fit the VMEM table budget (≈4k triangles, 128 materials,
-64 emitters); larger scenes fall back to the XLA wavefront integrator.
-The estimator is IDENTICAL to integrator/path.py (same RNG streams, same
-MIS/RR semantics) — tests assert lane-for-lane agreement.
+LAYOUT (the v5e-measured design): shading state is stored as [S, B] blocks
+(S=8 sublanes × B lanes of independent rays), so every elementwise shading
+op runs at full (8, 128)-tile utilization. Ray–triangle traces keep the
+[Tc, B] triangles-on-sublanes layout (broadcast FMAs against [Tc, 1] Woop
+columns) and loop over the S sub-blocks. Ablation on TPU v5e showed the
+previous all-[1, B]-rows kernel spent 3× more time in shading than in both
+traces combined purely from 1-of-8 sublane utilization; this layout change
+plus the amortized per-iteration loop overhead is worth ~2.5× end to end.
+
+Scenes must fit the VMEM table budget (≈4k triangles, ≤16 materials,
+≤16 emissive triangles); larger scenes fall back to the XLA wavefront
+integrator. The estimator is IDENTICAL to integrator/path.py (same RNG
+streams, same MIS/RR semantics) — tests assert statistical agreement.
+
+Ref parity: the fused bounce implements the loop of
+src/integrators/path/path.cpp:120-295 (NEE + MIS power heuristic + RR) with
+src/librender/triaccel.h:33 Woop-style intersection, reshaped for a machine
+with vector/matrix units instead of branch predictors.
 """
 from __future__ import annotations
 
@@ -42,16 +57,20 @@ _MISS = 1e30
 _DZ_EPS = 1e-12
 INV_PI = float(1.0 / np.pi)
 
-DEF_BLOCK = 2048
+DEF_BLOCK = 2048      # lanes per [1, B] row block in run_bounce/run_path
+DEF_SUBLANES = 8      # S: independent ray rows per shading block
+DEF_PBLOCK = 16384    # total lanes (S*B) per grid step in run_persistent
 
 # dims must mirror integrator/common.py
 SENSOR_DIMS = 4
 DIMS_PER_BOUNCE = 8
 DIM_NEE_SEL, DIM_NEE_POS, DIM_BSDF_U2, DIM_BSDF_U1, DIM_RR = 0, 1, 2, 3, 4
 
+N_ATTR = 8            # slim per-triangle attrs: ng xyz, mat_id, em_id, pad
+
 
 # ---------------------------------------------------------------------------
-# in-kernel helpers (operate on [k, B] rows)
+# in-kernel helpers
 # ---------------------------------------------------------------------------
 
 def _pcg4d(x, y, z, w):
@@ -83,9 +102,9 @@ def _to_float(bits):
 
 def _rng2(seed_i, pixel_i, dim_i, samp_i):
     """Two uniforms, mirroring core/rng.py hash_u32 counter layout.
-    seed is an int32 scalar; dim may be a scalar OR a [1, B] row (the
-    persistent kernel's per-lane bounce counters); pixel/samp are [1, B]
-    int32 rows; bit patterns == the uint32 stream."""
+    seed is an int32 scalar; dim may be a scalar OR a per-lane block (the
+    persistent kernel's bounce counters); pixel/samp are int32 blocks;
+    bit patterns == the uint32 stream."""
     full_u = lambda v: pltpu.bitcast(
         jnp.broadcast_to(jnp.asarray(v, jnp.int32), pixel_i.shape), _U32)
     x, y, z, w = _pcg4d(pltpu.bitcast(pixel_i, _U32),
@@ -109,8 +128,9 @@ def _coordsys(nx, ny, nz):
     return (sx, sy, sz), (tx, ty, tz)
 
 
-def _dot3(a, b):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+def _mis(pdf_a, pdf_b):
+    r = jnp.clip(pdf_b / jnp.maximum(pdf_a, 1e-6), 0.0, 1e6)
+    return jnp.where(pdf_a > 0, 1.0 / (1.0 + r * r), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -119,16 +139,18 @@ def _dot3(a, b):
 
 @dataclass(frozen=True, eq=False)
 class MegaTables:
-    """Static VMEM-resident scene tables (padded to tile multiples).
+    """Static scene tables (padded to tile multiples).
     eq=False → identity hash, so it can ride jit as a static argument
     (the arrays become compile-time constants)."""
-    woop: jnp.ndarray        # [C, 3*tc, 4]
-    attr: jnp.ndarray        # [T, 32]  tri_attr padded 24→32
-    mat: jnp.ndarray         # [16, M_pad] mat_params transposed
+    woop: jnp.ndarray        # [C, 3*tc, 4] VMEM
+    attr: jnp.ndarray        # [T, 8] slim attrs: ng|mat_id|em_id|pad, VMEM
+    mat: jnp.ndarray         # [16, M_pad] mat_params transposed, SMEM
     em_rows: jnp.ndarray     # [ET_pad, 16]: p0|e1|e2|ng|cdfg|area|pmf|emid
     em_count: int
     n_tris: int
     tc: int
+    m_real: int              # actual material rows (select-chain length)
+    et_real: int             # actual emissive-triangle rows
 
 
 def build_mega_tables(scene: SceneData, tc: int | None = None
@@ -155,21 +177,25 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
     w_p = np.zeros((t_pad, 3, 4), np.float32)
     w_p[:n_real] = w_tri[:n_real]
     w_p[n_real:, 2, 3] = 1.0          # degenerate: d'_z=0, o'_z=1 → miss
-    # cluster layout expected by the kernel: [C, 3tc, 8] with rows
-    # k*tc + i = component k of tri i; the last dim is the matmul
-    # contraction (x, y, z, 1) padded 4→8 to the sublane tile
+    # cluster layout expected by the kernel: [C, 3tc, 4] with rows
+    # k*tc + i = component k of tri i
     woop_cl = w_p.reshape(c_clusters, tc, 3, 4).transpose(0, 2, 1, 3) \
         .reshape(c_clusters, 3 * tc, 4)
 
-    attr_p = np.zeros((t_pad, 32), np.float32)
+    # slim attrs: the fused bounce needs only ng (tri_attr cols 0:3),
+    # mat_id (col 18) and em_id (col 19) — flat-shading scenes only
+    attr_p = np.zeros((t_pad, N_ATTR), np.float32)
     n_a = min(attr.shape[0], t_pad)
-    attr_p[:n_a, :24] = attr[:n_a]
-    attr_p[n_a:, 19] = -1.0    # padding tris: em_id = -1
+    attr_p[:n_a, 0:3] = attr[:n_a, 0:3]
+    attr_p[:n_a, 3] = attr[:n_a, 18]
+    attr_p[:n_a, 4] = attr[:n_a, 19]
+    attr_p[n_a:, 4] = -1.0    # padding tris: em_id = -1
 
     mat = np.asarray(scene.mat_params)
-    m_pad = max(8, -(-mat.shape[0] // 8) * 8)
+    m_real = mat.shape[0]
+    m_pad = max(8, -(-m_real // 8) * 8)
     mat_p = np.zeros((mat.shape[1], m_pad), np.float32)
-    mat_p[:, : mat.shape[0]] = mat.T
+    mat_p[:, :m_real] = mat.T
 
     # emissive-triangle rows + per-row emitter metadata
     em_tris = np.asarray(scene.em_tris)
@@ -194,29 +220,36 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         em_rows=jnp.asarray(rows),
         em_count=int(scene.n_emitters),
         n_tris=n_real,
-        tc=tc)
+        tc=tc,
+        m_real=m_real,
+        et_real=max(et, 1))
 
 
 # ---------------------------------------------------------------------------
-# the kernel
+# in-kernel trace ([Tc, B] triangles-on-sublanes layout)
 # ---------------------------------------------------------------------------
 
 def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
                   attr_ref=None):
-    """In-kernel closest-hit trace over all clusters. Returns t_best [1,B]
-    and, if attr_ref given, the [32, B] selected attribute columns.
+    """In-kernel closest-hit trace over all clusters for ONE [1, B] ray
+    row. Returns t_best [1,B] and, if attr_ref given, the [N_ATTR, B]
+    selected attribute columns.
 
     The Woop ray transform is elementwise VPU work: per cluster, the
-    affine origin transform and linear direction transform are 24
-    broadcast FMAs per triangle-lane — measured faster than the
-    f32-exact (6-pass) MXU matmul formulation, which does 12x the
-    FLOPs (bf16 single-pass is too coarse for the intersection test)."""
+    affine origin transform and linear direction transform are 21
+    broadcast FMAs per triangle-sublane — measured faster than any MXU
+    matmul formulation (K=4 runs the systolic array nearly empty and
+    6-pass f32 makes it 1.7× slower end to end).
+
+    No safe-dz clamp: rays parallel to a triangle plane produce inf/NaN
+    t/u/v, which fail the mask compares (NaN compares false), and the
+    |d'_z| ≥ ε mask term rejects them explicitly."""
     b = ox.shape[-1]
     t_best = jnp.full((1, b), _MISS)
-    attr_best = jnp.zeros((32, b)) if attr_ref is not None else None
+    attr_best = jnp.zeros((N_ATTR, b)) if attr_ref is not None else None
 
     for c in range(c_clusters):
-        w = woop[c]                                     # [3tc, >=4]
+        w = woop[c]                                     # [3tc, 4]
 
         def comp(k):
             w0 = w[k * tc:(k + 1) * tc, 0:1]
@@ -229,8 +262,7 @@ def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
         opx, dpx = comp(0)
         opy, dpy = comp(1)
         opz, dpz = comp(2)
-        safe_dz = jnp.where(jnp.abs(dpz) < _DZ_EPS, _DZ_EPS, dpz)
-        t = -opz / safe_dz
+        t = -opz / dpz
         u = opx + t * dpx
         v = opy + t * dpy
         inside = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
@@ -245,254 +277,275 @@ def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
             hit_rows = jnp.where(tm == t_c, rows, tc)
             row_best = jnp.min(hit_rows, axis=0, keepdims=True)
             sel = ((rows == row_best) & mask).astype(jnp.float32)  # [tc,B]
-            a_c = attr_ref[c * tc:(c + 1) * tc, :]                 # [tc,32]
+            a_c = attr_ref[c * tc:(c + 1) * tc, :]             # [tc,N_ATTR]
+            # HIGHEST precision: a bf16 pass would round table values
+            # (e.g. a normal component) and break shading
             attr_c = jax.lax.dot_general(
                 a_c, sel, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)               # [32, B]
+                precision=jax.lax.Precision.HIGHEST)           # [N_ATTR, B]
             attr_best = jnp.where(closer, attr_c, attr_best)
     return t_best, attr_best
 
 
-def _bounce_math(tc, c_clusters, families, rr_depth, max_depth, m_pad,
-                 et_pad, woop, attr_tab, mat, em, consts, pixel, samp,
-                 seed, bounce, st):
-    """One path-tracer bounce over a [16, B] state block (pure function of
-    VMEM-resident values; shared by the per-bounce and whole-path kernels).
-    `bounce` may be a traced int32 scalar (whole-path loop index).
-    Returns (new_state [16, B], trace_count [1, B], shadow_count [1, B])."""
-    ox, oy, oz = st[0:1], st[1:2], st[2:3]
-    dx, dy, dz = st[3:4], st[4:5], st[5:6]
-    tpr, tpg, tpb = st[6:7], st[7:8], st[8:9]
-    lr, lg, lb = st[9:10], st[10:11], st[11:12]
-    active = st[12:13] > 0.5
-    prev_pdf = st[13:14]
-    prev_delta = st[14:15] > 0.5
-    eta_scale = st[15:16]
+# ---------------------------------------------------------------------------
+# the fused bounce, S-layout ([S, B] shading blocks)
+# ---------------------------------------------------------------------------
+
+def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
+                 m_real, et_real, woop, attr_tab, mat_sm, em_sm, consts,
+                 pixel, samp, seed, bounce, rows):
+    """One path-tracer bounce over [S, B] shading blocks.
+
+    rows: tuple of 16 [S, B] f32 blocks (o xyz, d xyz, throughput rgb,
+    L rgb, active, prev_pdf, prev_delta, eta_scale). pixel/samp: [S, B]
+    int32. bounce: int32 scalar or [S, B] block. mat_sm/em_sm are SMEM
+    refs read as broadcast scalars. Returns (new 16-row tuple,
+    trace_count [S, B], shadow_count [S, B])."""
+    (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, lr, lg, lb,
+     active_f, prev_pdf, prev_delta_f, eta_scale) = rows
+    s_blocks = ox.shape[0]
+    active = active_f > 0.5
+    prev_delta = prev_delta_f > 0.5
 
     dim_base = SENSOR_DIMS + bounce * DIMS_PER_BOUNCE
 
-    if True:
-        # ---- closest hit ------------------------------------------------
-        scale = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
-                                  jnp.abs(oz))
-        mint = 1e-4 * scale
-        maxt = jnp.full_like(mint, _MISS)
-        t_best, attr = _trace_inline(woop, tc, c_clusters, ox, oy, oz,
-                                     dx, dy, dz, mint, maxt, attr_tab)
-        hit = active & (t_best < _MISS)
-        t_safe = jnp.where(t_best < _MISS, t_best, 1.0)
-        px_, py_, pz_ = (ox + t_safe * dx, oy + t_safe * dy,
-                         oz + t_safe * dz)
+    # ---- closest hit (per sub-block trace, stacked back to [S, B]) ----
+    scale = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
+                              jnp.abs(oz))
+    mint = 1e-4 * scale
+    t_rows, a_rows = [], []
+    for s in range(s_blocks):
+        maxt_row = jnp.full((1, ox.shape[1]), _MISS)
+        t_s, attr_s = _trace_inline(
+            woop, tc, c_clusters,
+            ox[s:s + 1], oy[s:s + 1], oz[s:s + 1],
+            dx[s:s + 1], dy[s:s + 1], dz[s:s + 1],
+            mint[s:s + 1], maxt_row, attr_tab)
+        t_rows.append(t_s)
+        a_rows.append(attr_s)
+    t_best = jnp.concatenate(t_rows, axis=0)                   # [S, B]
+    gather = lambda r: jnp.concatenate(
+        [a[r:r + 1] for a in a_rows], axis=0)
+    ngx, ngy, ngz = gather(0), gather(1), gather(2)
+    mat_id = gather(3)
+    em_id = gather(4)
 
-        ngx, ngy, ngz = attr[0:1], attr[1:2], attr[2:3]
-        # shading normal: interpolate vn? megakernel uses per-tri shading
-        # normals only when equal to ng (flat Cornell-class geometry); the
-        # general interpolated path needs u,v — use rows 3..11 mean? For
-        # exactness with flat shading, vn == ng rows; use ng.
-        nsx, nsy, nsz = ngx, ngy, ngz
-        mat_id = attr[18:19]
-        em_id = attr[19:20]
+    hit = active & (t_best < _MISS)
+    t_safe = jnp.where(t_best < _MISS, t_best, 1.0)
+    px_, py_, pz_ = (ox + t_safe * dx, oy + t_safe * dy, oz + t_safe * dz)
 
-        # ---- material row via one-hot matmul ---------------------------
-        # params [16, B] = mat [16, M] @ onehot [M, B]
-        mcols = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0) \
-            .astype(jnp.float32)
-        onehot_m = (mcols == jnp.maximum(mat_id, 0.0)).astype(jnp.float32)
-        params = jax.lax.dot_general(
-            mat, onehot_m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+    # ---- material row via SMEM-scalar select chain --------------------
+    # (replaces the one-hot MXU matmul: with state on [S, B] blocks the
+    # matmul would need a layout round-trip; M is small by construction)
+    def mat_param(j):
+        p = jnp.full_like(mat_id, mat_sm[j, 0])
+        for m in range(1, m_real):
+            p = jnp.where(mat_id == float(m), mat_sm[j, m], p)
+        return p
 
-        # ---- emission on hit + env on escape ---------------------------
-        cos_surf = -(dx * ngx + dy * ngy + dz * ngz)
-        # single-area-emitter specialization: its radiance + pmf/area are
-        # scalars in the meta row (multi-emitter scenes use the XLA path)
-        (le_r, le_g, le_b, env_r, env_g, env_b, env_pmf, em_area_tot,
-         em_pmf_area) = consts[:9]
+    mtype = mat_param(12)     # family code row (MAT_DIFFUSE, ...)
 
-        escaped = active & (t_best >= _MISS)
-        inv4pi = jnp.float32(1.0 / (4.0 * np.pi))
-        env_pdf = env_pmf * inv4pi
-        mis_env = jnp.where(prev_delta, 1.0,
-                            _mis(prev_pdf, env_pdf))
-        esc = escaped.astype(jnp.float32) * mis_env
-        lr = lr + tpr * env_r * esc
-        lg = lg + tpg * env_g * esc
-        lb = lb + tpb * env_b * esc
+    # ---- emission on hit + env on escape ------------------------------
+    cos_surf = -(dx * ngx + dy * ngy + dz * ngz)
+    # single-area-emitter specialization: its radiance + pmf/area are
+    # scalars in the meta row (multi-emitter scenes use the XLA path)
+    (le_r, le_g, le_b, env_r, env_g, env_b, env_pmf, em_area_tot,
+     em_pmf_area) = consts[:9]
 
-        is_emitter = hit & (em_id >= 0.0) & (cos_surf > 0.0)
-        dist2 = t_best * t_best
-        pdf_hit = jnp.where(
-            cos_surf > 1e-6,
-            dist2 / jnp.maximum(cos_surf * em_area_tot, 1e-12)
-            * em_pmf_area, 0.0)
-        mis_hit = jnp.where(prev_delta, 1.0, _mis(prev_pdf, pdf_hit))
-        hi = is_emitter.astype(jnp.float32) * mis_hit
-        lr = lr + tpr * le_r * hi
-        lg = lg + tpg * le_g * hi
-        lb = lb + tpb * le_b * hi
+    escaped = active & (t_best >= _MISS)
+    inv4pi = jnp.float32(1.0 / (4.0 * np.pi))
+    env_pdf = env_pmf * inv4pi
+    mis_env = jnp.where(prev_delta, 1.0, _mis(prev_pdf, env_pdf))
+    esc = escaped.astype(jnp.float32) * mis_env
+    lr = lr + tpr * env_r * esc
+    lg = lg + tpg * env_g * esc
+    lb = lb + tpb * env_b * esc
 
-        depth = bounce.astype(jnp.float32) + 2.0  # path vertices (int32→f32)
+    is_emitter = hit & (em_id >= 0.0) & (cos_surf > 0.0)
+    dist2 = t_best * t_best
+    pdf_hit = jnp.where(
+        cos_surf > 1e-6,
+        dist2 / jnp.maximum(cos_surf * em_area_tot, 1e-12)
+        * em_pmf_area, 0.0)
+    mis_hit = jnp.where(prev_delta, 1.0, _mis(prev_pdf, pdf_hit))
+    hi = is_emitter.astype(jnp.float32) * mis_hit
+    lr = lr + tpr * le_r * hi
+    lg = lg + tpg * le_g * hi
+    lb = lb + tpb * le_b * hi
 
-        # ---- shading frame ---------------------------------------------
-        (sx, sy, sz), (tx_, ty_, tz_) = _coordsys(nsx, nsy, nsz)
-        wil_x = -(dx * sx + dy * sy + dz * sz)
-        wil_y = -(dx * tx_ + dy * ty_ + dz * tz_)
-        wil_z = -(dx * nsx + dy * nsy + dz * nsz)
+    if isinstance(bounce, jnp.ndarray) and bounce.ndim:
+        depth = bounce.astype(jnp.float32) + 2.0  # path vertices
+    else:
+        depth = jnp.asarray(bounce, jnp.int32).astype(jnp.float32) + 2.0
 
-        # ---- NEE --------------------------------------------------------
-        u_sel, _ = _rng2(seed, pixel, dim_base + DIM_NEE_SEL, samp)
-        up0, up1 = _rng2(seed, pixel, dim_base + DIM_NEE_POS, samp)
-        # emitter pick: single area emitter (pmf handled via em rows);
-        # triangle pick via cdfg compare (ET sublanes)
-        u_re = jnp.clip(u_sel / jnp.maximum(em_pmf_area, 1e-9), 0.0,
-                        1.0 - 1e-7)
-        key = u_re                                # emitter 0 segment
-        cdfg = em[:, 12:13]                       # [ET, 1]
-        cnt = jnp.sum((cdfg <= key).astype(jnp.float32), axis=0,
-                      keepdims=True)              # [1, B]
-        erows = jax.lax.broadcasted_iota(jnp.int32, (et_pad, 1), 0) \
-            .astype(jnp.float32)
-        sel_e = (erows == cnt).astype(jnp.float32)  # [ET, B]
-        # HIGHEST precision: a bf16 pass would round table values (e.g.
-        # a light plane at y=0.999 → 1.0) and break grazing shadow rays
-        row = jax.lax.dot_general(
-            em[:, 0:12], sel_e, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # [12, B]
-        # uniform barycentric (warp.h triangle warp)
-        sq = jnp.sqrt(jnp.maximum(1.0 - up0, 0.0))
-        b0 = 1.0 - sq
-        b1 = up1 * sq
-        plx = row[0:1] + b0 * row[3:4] + b1 * row[6:7]
-        ply = row[1:2] + b0 * row[4:5] + b1 * row[7:8]
-        plz = row[2:3] + b0 * row[5:6] + b1 * row[8:9]
-        nlx, nly, nlz = row[9:10], row[10:11], row[11:12]
-        tlx, tly, tlz = plx - px_, ply - py_, plz - pz_
-        ld2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-12)
-        ldist = jnp.sqrt(ld2)
-        ldx, ldy, ldz = tlx / ldist, tly / ldist, tlz / ldist
-        cos_l = -(ldx * nlx + ldy * nly + ldz * nlz)
-        pdf_nee = jnp.where(
-            cos_l > 1e-6,
-            ld2 / jnp.maximum(cos_l * em_area_tot, 1e-12) * em_pmf_area,
-            0.0)
+    # ---- shading frame -------------------------------------------------
+    nsx, nsy, nsz = ngx, ngy, ngz        # flat shading (megakernel scope)
+    (sx, sy, sz), (tx_, ty_, tz_) = _coordsys(nsx, nsy, nsz)
+    wil_x = -(dx * sx + dy * sy + dz * sz)
+    wil_y = -(dx * tx_ + dy * ty_ + dz * tz_)
+    wil_z = -(dx * nsx + dy * nsy + dz * nsz)
 
-        # shadow ray (offset along geometric normal)
-        sgn = jnp.where(ldx * ngx + ldy * ngy + ldz * ngz >= 0.0, 1.0, -1.0)
-        eps_o = 1e-4 * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(px_),
-                                                      jnp.abs(py_)),
-                                          jnp.abs(pz_)))
-        sox = px_ + sgn * eps_o * ngx
-        soy = py_ + sgn * eps_o * ngy
-        soz = pz_ + sgn * eps_o * ngz
-        smint = 1e-4 * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(sox),
-                                                      jnp.abs(soy)),
-                                          jnp.abs(soz)))
-        smaxt = ldist * (1.0 - 1e-3)
-        t_sh, _ = _trace_inline(woop, tc, c_clusters, sox, soy, soz,
-                                ldx, ldy, ldz, smint, smaxt, None)
-        lit = t_sh >= _MISS
+    # ---- NEE ------------------------------------------------------------
+    u_sel, _ = _rng2(seed, pixel, dim_base + DIM_NEE_SEL, samp)
+    up0, up1 = _rng2(seed, pixel, dim_base + DIM_NEE_POS, samp)
+    # emitter pick: single area emitter; triangle pick via cdf compare
+    u_re = jnp.clip(u_sel / jnp.maximum(em_pmf_area, 1e-9), 0.0,
+                    1.0 - 1e-7)
+    key = u_re                            # emitter 0 segment
+    cnt = jnp.zeros_like(key)
+    for e in range(et_real):
+        cnt = cnt + (em_sm[e, 12] <= key).astype(jnp.float32)
 
-        # BSDF eval toward light + pdf (families static)
-        wol_x = ldx * sx + ldy * sy + ldz * sz
-        wol_y = ldx * tx_ + ldy * ty_ + ldz * tz_
-        wol_z = ldx * nsx + ldy * nsy + ldz * nsz
-        f_r, f_g, f_b, pdf_fwd = _bsdf_eval_pdf(
-            families, params, wil_x, wil_y, wil_z, wol_x, wol_y, wol_z)
-        mis_nee = _mis(pdf_nee, pdf_fwd)
-        contrib = (hit & lit & (pdf_nee > 0.0)).astype(jnp.float32) \
-            * mis_nee / jnp.maximum(pdf_nee, 1e-12)
-        lr = lr + tpr * le_r * f_r * contrib
-        lg = lg + tpg * le_g * f_g * contrib
-        lb = lb + tpb * le_b * f_b * contrib
+    def em_val(j):
+        p = jnp.full_like(key, em_sm[0, j])
+        for e in range(1, et_real):
+            p = jnp.where(cnt == float(e), em_sm[e, j], p)
+        return p
 
-        # ---- BSDF sample ------------------------------------------------
-        ub0, ub1 = _rng2(seed, pixel, dim_base + DIM_BSDF_U2, samp)
-        uc0, _ = _rng2(seed, pixel, dim_base + DIM_BSDF_U1, samp)
-        (nwx, nwy, nwz, w_r, w_g, w_b, pdf_b, is_delta) = _bsdf_sample(
-            families, params, wil_x, wil_y, wil_z, ub0, ub1, uc0)
-        # to world
-        ndx = nwx * sx + nwy * tx_ + nwz * nsx
-        ndy = nwx * sy + nwy * ty_ + nwz * nsy
-        ndz = nwx * sz + nwy * tz_ + nwz * nsz
+    # uniform barycentric (warp.h triangle warp)
+    sq = jnp.sqrt(jnp.maximum(1.0 - up0, 0.0))
+    b0 = 1.0 - sq
+    b1 = up1 * sq
+    plx = em_val(0) + b0 * em_val(3) + b1 * em_val(6)
+    ply = em_val(1) + b0 * em_val(4) + b1 * em_val(7)
+    plz = em_val(2) + b0 * em_val(5) + b1 * em_val(8)
+    nlx, nly, nlz = em_val(9), em_val(10), em_val(11)
+    tlx, tly, tlz = plx - px_, ply - py_, plz - pz_
+    ld2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-12)
+    ldist = jnp.sqrt(ld2)
+    ldx, ldy, ldz = tlx / ldist, tly / ldist, tlz / ldist
+    cos_l = -(ldx * nlx + ldy * nly + ldz * nlz)
+    pdf_nee = jnp.where(
+        cos_l > 1e-6,
+        ld2 / jnp.maximum(cos_l * em_area_tot, 1e-12) * em_pmf_area,
+        0.0)
 
-        tp_r = tpr * w_r
-        tp_g = tpg * w_g
-        tp_b = tpb * w_b
-        alive = hit & (pdf_b > 0.0) \
-            & ((tp_r > 0.0) | (tp_g > 0.0) | (tp_b > 0.0))
-        if max_depth > 0:
-            alive = alive & (depth <= float(max_depth))
+    # shadow ray (offset along geometric normal)
+    sgn = jnp.where(ldx * ngx + ldy * ngy + ldz * ngz >= 0.0, 1.0, -1.0)
+    eps_o = 1e-4 * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(px_),
+                                                  jnp.abs(py_)),
+                                      jnp.abs(pz_)))
+    sox = px_ + sgn * eps_o * ngx
+    soy = py_ + sgn * eps_o * ngy
+    soz = pz_ + sgn * eps_o * ngz
+    smint = 1e-4 * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(sox),
+                                                  jnp.abs(soy)),
+                                      jnp.abs(soz)))
+    smaxt = ldist * (1.0 - 1e-3)
+    lit_rows = []
+    for s in range(s_blocks):
+        t_sh, _ = _trace_inline(
+            woop, tc, c_clusters,
+            sox[s:s + 1], soy[s:s + 1], soz[s:s + 1],
+            ldx[s:s + 1], ldy[s:s + 1], ldz[s:s + 1],
+            smint[s:s + 1], smaxt[s:s + 1], None)
+        lit_rows.append(t_sh)
+    lit = jnp.concatenate(lit_rows, axis=0) >= _MISS           # [S, B]
 
-        # ---- RR ---------------------------------------------------------
-        u_rr, _ = _rng2(seed, pixel, dim_base + DIM_RR, samp)
-        tp_max = jnp.maximum(jnp.maximum(tp_r, tp_g), tp_b)
-        q = jnp.minimum(tp_max * eta_scale * eta_scale, 0.95)
-        do_rr = depth >= float(rr_depth)
-        rr_cont = jnp.logical_or(~do_rr, u_rr < q)
-        rs = jnp.where(do_rr & rr_cont, 1.0 / jnp.maximum(q, 1e-6), 1.0)
-        tp_r = tp_r * rs
-        tp_g = tp_g * rs
-        tp_b = tp_b * rs
-        alive = alive & rr_cont
+    # BSDF eval toward light + pdf (families static)
+    wol_x = ldx * sx + ldy * sy + ldz * sz
+    wol_y = ldx * tx_ + ldy * ty_ + ldz * tz_
+    wol_z = ldx * nsx + ldy * nsy + ldz * nsz
+    f_r, f_g, f_b, pdf_fwd = _bsdf_eval_pdf(
+        families, mat_param, mtype, wil_x, wil_y, wil_z,
+        wol_x, wol_y, wol_z)
+    mis_nee = _mis(pdf_nee, pdf_fwd)
+    contrib = (hit & lit & (pdf_nee > 0.0)).astype(jnp.float32) \
+        * mis_nee / jnp.maximum(pdf_nee, 1e-12)
+    lr = lr + tpr * le_r * f_r * contrib
+    lg = lg + tpg * le_g * f_g * contrib
+    lb = lb + tpb * le_b * f_b * contrib
 
-        af = alive.astype(jnp.float32)
-        sgn_n = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
-                          1.0, -1.0)
-        new_st = jnp.concatenate([
-            px_ + sgn_n * eps_o * ngx, py_ + sgn_n * eps_o * ngy,
-            pz_ + sgn_n * eps_o * ngz,
-            jnp.where(alive, ndx, dx), jnp.where(alive, ndy, dy),
-            jnp.where(alive, ndz, dz),
-            tp_r * af, tp_g * af, tp_b * af,
-            lr, lg, lb,
-            af,
-            jnp.where(is_delta, 1.0, pdf_b),
-            is_delta.astype(jnp.float32),
-            eta_scale,
-        ], axis=0)
-        return (new_st, active.astype(jnp.float32),
-                (hit & (pdf_nee > 0.0)).astype(jnp.float32))
+    # ---- BSDF sample ----------------------------------------------------
+    ub0, ub1 = _rng2(seed, pixel, dim_base + DIM_BSDF_U2, samp)
+    uc0, _ = _rng2(seed, pixel, dim_base + DIM_BSDF_U1, samp)
+    (nwx, nwy, nwz, w_r, w_g, w_b, pdf_b, is_delta) = _bsdf_sample(
+        families, mat_param, mtype, wil_x, wil_y, wil_z, ub0, ub1, uc0)
+    # to world
+    ndx = nwx * sx + nwy * tx_ + nwz * nsx
+    ndy = nwx * sy + nwy * ty_ + nwz * nsy
+    ndz = nwx * sz + nwy * tz_ + nwz * nsz
+
+    tp_r = tpr * w_r
+    tp_g = tpg * w_g
+    tp_b = tpb * w_b
+    alive = hit & (pdf_b > 0.0) \
+        & ((tp_r > 0.0) | (tp_g > 0.0) | (tp_b > 0.0))
+    if max_depth > 0:
+        alive = alive & (depth <= float(max_depth))
+
+    # ---- RR --------------------------------------------------------------
+    u_rr, _ = _rng2(seed, pixel, dim_base + DIM_RR, samp)
+    tp_max = jnp.maximum(jnp.maximum(tp_r, tp_g), tp_b)
+    q = jnp.minimum(tp_max * eta_scale * eta_scale, 0.95)
+    do_rr = depth >= float(rr_depth)
+    rr_cont = jnp.logical_or(~do_rr, u_rr < q)
+    rs = jnp.where(do_rr & rr_cont, 1.0 / jnp.maximum(q, 1e-6), 1.0)
+    tp_r = tp_r * rs
+    tp_g = tp_g * rs
+    tp_b = tp_b * rs
+    alive = alive & rr_cont
+
+    af = alive.astype(jnp.float32)
+    sgn_n = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0, 1.0, -1.0)
+    new_rows = (
+        px_ + sgn_n * eps_o * ngx, py_ + sgn_n * eps_o * ngy,
+        pz_ + sgn_n * eps_o * ngz,
+        jnp.where(alive, ndx, dx), jnp.where(alive, ndy, dy),
+        jnp.where(alive, ndz, dz),
+        tp_r * af, tp_g * af, tp_b * af,
+        lr, lg, lb,
+        af,
+        jnp.where(is_delta, 1.0, pdf_b),
+        is_delta.astype(jnp.float32),
+        eta_scale,
+    )
+    return (new_rows, active.astype(jnp.float32),
+            (hit & (pdf_nee > 0.0)).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# per-bounce / whole-path kernels ([16, B] row states; S = 1 sub-block)
+# ---------------------------------------------------------------------------
+
+def _state_to_rows(st):
+    return tuple(st[i:i + 1] for i in range(16))
 
 
 def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
                        families: tuple, rr_depth: int, max_depth: int,
-                       m_pad: int, et_pad: int):
+                       m_real: int, et_real: int):
     """Single-bounce kernel (one pallas_call per bounce; kept for
-    incremental/debug use — the whole-path kernel below is the fast path)."""
+    incremental/debug use — run_path/run_persistent are the fast paths)."""
 
     def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
                meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
-        new_st, s_tr, s_sh = _bounce_math(
-            tc, c_clusters, families, rr_depth, max_depth, m_pad, et_pad,
-            woop_ref[:], attr_ref[:], mat_ref[:], em_ref[:], consts,
+        new_rows, s_tr, s_sh = _bounce_rows(
+            tc, c_clusters, families, rr_depth, max_depth, m_real,
+            et_real, woop_ref[:], attr_ref[:], mat_ref, em_ref, consts,
             pix_ref[:], samp_ref[:], meta_ref[0], meta_ref[2],
-            st_in_ref[:])
-        st_out_ref[:] = jnp.concatenate([new_st, s_tr, s_sh], axis=0)
+            _state_to_rows(st_in_ref[:]))
+        st_out_ref[:] = jnp.concatenate(list(new_rows) + [s_tr, s_sh],
+                                        axis=0)
 
     return kernel
 
 
 def make_path_kernel(tc: int, c_clusters: int, em_count: int,
                      families: tuple, rr_depth: int, max_depth: int,
-                     m_pad: int, et_pad: int, n_bounces: int):
+                     m_real: int, et_real: int, n_bounces: int):
     """Whole-path megakernel: the ENTIRE bounce loop runs inside one Pallas
     program. Path state lives in VMEM/vector registers for all bounces —
     zero inter-bounce HBM traffic, one dispatch per render pass — and the
-    loop exits early once every lane in the block is dead (by bounce ~6
-    under RR most lanes are). This is the 'multi-bounce fusion' stage of
-    the roadmap (ARCHITECTURE.md)."""
+    loop exits early once every lane in the block is dead."""
 
     def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
                meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         woop = woop_ref[:]
         attr_tab = attr_ref[:]
-        mat = mat_ref[:]
-        em = em_ref[:]
         pixel = pix_ref[:]
         samp = samp_ref[:]
         seed = meta_ref[0]
@@ -507,11 +560,12 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
 
         def body(carry):
             i, st, s0, s1 = carry
-            new_st, t0, t1 = _bounce_math(
-                tc, c_clusters, families, rr_depth, max_depth, m_pad,
-                et_pad, woop, attr_tab, mat, em, consts, pixel, samp,
-                seed, i, st)
-            return i + 1, new_st, s0 + t0, s1 + t1
+            new_rows, t0, t1 = _bounce_rows(
+                tc, c_clusters, families, rr_depth, max_depth, m_real,
+                et_real, woop, attr_tab, mat_ref, em_ref, consts, pixel,
+                samp, seed, i, _state_to_rows(st))
+            return i + 1, jnp.concatenate(new_rows, axis=0), s0 + t0, \
+                s1 + t1
 
         _, st, s0, s1 = jax.lax.while_loop(
             cond, body, (jnp.int32(0), st0, z, z))
@@ -522,6 +576,19 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
 
 N_STATE = 16
 N_OUT = 18
+
+
+def _table_specs(tables: MegaTables):
+    """woop/attr in VMEM (trace + one-hot matmul), mat/em in SMEM
+    (broadcast-scalar select chains)."""
+    full = lambda shape: pl.BlockSpec(shape, lambda *a: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    return [
+        full(tables.woop.shape),
+        full(tables.attr.shape),
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # mat
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # em rows
+    ]
 
 
 @functools.partial(jax.jit,
@@ -538,24 +605,16 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
     """
     n = state.shape[1]
     c_clusters = tables.woop.shape[0]
-    m_pad = tables.mat.shape[1]
-    et_pad = tables.em_rows.shape[0]
     kernel = make_bounce_kernel(tables.tc, c_clusters, tables.em_count,
-                                families, rr_depth, max_depth, m_pad,
-                                et_pad)
+                                families, rr_depth, max_depth,
+                                tables.m_real, tables.et_real)
     grid = (n // block,)
-    full = lambda shape: pl.BlockSpec(shape, lambda r: tuple(
-        0 for _ in shape), memory_space=pltpu.VMEM)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            full(tables.woop.shape),
-            full(tables.attr.shape),
-            full(tables.mat.shape),
-            full(tables.em_rows.shape),
+        in_specs=_table_specs(tables) + [
             col(1),                                   # pixel
             col(1),                                   # samp
             pl.BlockSpec(memory_space=pltpu.SMEM),    # meta_u32
@@ -580,24 +639,16 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
     [18, Npad] — final state rows + summed trace/shadow stats rows."""
     n = state.shape[1]
     c_clusters = tables.woop.shape[0]
-    m_pad = tables.mat.shape[1]
-    et_pad = tables.em_rows.shape[0]
     kernel = make_path_kernel(tables.tc, c_clusters, tables.em_count,
-                              families, rr_depth, max_depth, m_pad,
-                              et_pad, n_bounces)
+                              families, rr_depth, max_depth,
+                              tables.m_real, tables.et_real, n_bounces)
     grid = (n // block,)
-    full = lambda shape: pl.BlockSpec(shape, lambda r: tuple(
-        0 for _ in shape), memory_space=pltpu.VMEM)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            full(tables.woop.shape),
-            full(tables.attr.shape),
-            full(tables.mat.shape),
-            full(tables.em_rows.shape),
+        in_specs=_table_specs(tables) + [
             col(1),                                   # pixel
             col(1),                                   # samp
             pl.BlockSpec(memory_space=pltpu.SMEM),    # meta_u32
@@ -611,44 +662,41 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
     return out
 
 
-def _mis(pdf_a, pdf_b):
-    r = jnp.clip(pdf_b / jnp.maximum(pdf_a, 1e-6), 0.0, 1e6)
-    return jnp.where(pdf_a > 0, 1.0 / (1.0 + r * r), 0.0)
-
-
 # ---------------------------------------------------------------------------
 # in-kernel BSDF families (diffuse / conductor / rough-conductor GGX)
 # ---------------------------------------------------------------------------
+# mat_param(j) returns the [S, B] broadcast of material-parameter row j
+# selected per lane (SMEM scalar select chain).
 
-def _bsdf_eval_pdf(families, params, wix, wiy, wiz, wox, woy, woz):
-    """f·cosθo (rgb rows) + solid-angle pdf for the smooth component."""
+def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
+                   wox, woy, woz):
+    """f·cosθo (rgb) + solid-angle pdf for the smooth component."""
     f_r = jnp.zeros_like(wix)
     f_g = jnp.zeros_like(wix)
     f_b = jnp.zeros_like(wix)
     pdf = jnp.zeros_like(wix)
-    mtype = params[12:13]
     valid = (wiz > 0.0) & (woz > 0.0)
     if MAT_DIFFUSE in families:
         sel = (mtype == float(MAT_DIFFUSE)) & valid
         s = sel.astype(jnp.float32)
-        f_r = f_r + s * params[0:1] * INV_PI * woz
-        f_g = f_g + s * params[1:2] * INV_PI * woz
-        f_b = f_b + s * params[2:3] * INV_PI * woz
+        f_r = f_r + s * mat_param(0) * INV_PI * woz
+        f_g = f_g + s * mat_param(1) * INV_PI * woz
+        f_b = f_b + s * mat_param(2) * INV_PI * woz
         pdf = pdf + s * woz * INV_PI
     if MAT_ROUGH_CONDUCTOR in families:
         sel = (mtype == float(MAT_ROUGH_CONDUCTOR)) & valid
         s = sel.astype(jnp.float32)
         hx, hy, hz = _normalize3(wix + wox, wiy + woy, wiz + woz)
-        a = jnp.maximum(params[9:10], 1e-4)
+        a = jnp.maximum(mat_param(9), 1e-4)
         d_ndf = _ggx_d(hx, hy, hz, a)
         g1i = _ggx_g1(wix, wiy, wiz, hx, hy, hz, a)
         g1o = _ggx_g1(wox, woy, woz, hx, hy, hz, a)
         wim = wix * hx + wiy * hy + wiz * hz
-        fr_r, fr_g, fr_b = _fresnel_cond(params, jnp.abs(wim))
+        fr_r, fr_g, fr_b = _fresnel_cond(mat_param, jnp.abs(wim))
         base = d_ndf * g1i * g1o / jnp.maximum(4.0 * wiz, 1e-7)
-        f_r = f_r + s * fr_r * params[6:7] * base
-        f_g = f_g + s * fr_g * params[7:8] * base
-        f_b = f_b + s * fr_b * params[8:9] * base
+        f_r = f_r + s * fr_r * mat_param(6) * base
+        f_g = f_g + s * fr_g * mat_param(7) * base
+        f_b = f_b + s * fr_b * mat_param(8) * base
         pdf_h = g1i * jnp.abs(wim) * d_ndf / jnp.maximum(wiz, 1e-12)
         pdf = pdf + s * pdf_h / jnp.maximum(
             4.0 * jnp.abs(wox * hx + woy * hy + woz * hz), 1e-7)
@@ -669,13 +717,13 @@ def _ggx_g1(vx, vy, vz, hx, hy, hz, a):
     return jnp.where(back, 0.0, g)
 
 
-def _fresnel_cond(params, ci):
+def _fresnel_cond(mat_param, ci):
     out = []
     c2 = ci * ci
     s2 = 1.0 - c2
     for ch in range(3):
-        e = params[0 + ch:1 + ch]
-        k = params[3 + ch:4 + ch]
+        e = mat_param(0 + ch)
+        k = mat_param(3 + ch)
         e2, k2 = e * e, k * k
         t0 = e2 - k2 - s2
         a2pb2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 1e-12))
@@ -690,9 +738,8 @@ def _fresnel_cond(params, ci):
     return out[0], out[1], out[2]
 
 
-def _bsdf_sample(families, params, wix, wiy, wiz, u0, u1, uc):
+def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
     """Returns (wo_local xyz, weight rgb, pdf, is_delta)."""
-    mtype = params[12:13]
     zero = jnp.zeros_like(wix)
     nwx, nwy, nwz = zero, zero, zero + 1.0
     w_r, w_g, w_b = zero, zero, zero
@@ -722,28 +769,28 @@ def _bsdf_sample(families, params, wix, wiy, wiz, u0, u1, uc):
         nwx = jnp.where(sel, sxd, nwx)
         nwy = jnp.where(sel, syd, nwy)
         nwz = jnp.where(sel, szd, nwz)
-        w_r = jnp.where(sel, s * params[0:1], w_r)
-        w_g = jnp.where(sel, s * params[1:2], w_g)
-        w_b = jnp.where(sel, s * params[2:3], w_b)
+        w_r = jnp.where(sel, s * mat_param(0), w_r)
+        w_g = jnp.where(sel, s * mat_param(1), w_g)
+        w_b = jnp.where(sel, s * mat_param(2), w_b)
         pdf = jnp.where(sel, s * szd * INV_PI, pdf)
 
     if MAT_CONDUCTOR in families:
         sel = mtype == float(MAT_CONDUCTOR)
         ok = wiz > 0.0
         s = (sel & ok).astype(jnp.float32)
-        fr_r, fr_g, fr_b = _fresnel_cond(params, jnp.maximum(wiz, 0.0))
+        fr_r, fr_g, fr_b = _fresnel_cond(mat_param, jnp.maximum(wiz, 0.0))
         nwx = jnp.where(sel, -wix, nwx)
         nwy = jnp.where(sel, -wiy, nwy)
         nwz = jnp.where(sel, wiz, nwz)
-        w_r = jnp.where(sel, s * fr_r * params[6:7], w_r)
-        w_g = jnp.where(sel, s * fr_g * params[7:8], w_g)
-        w_b = jnp.where(sel, s * fr_b * params[8:9], w_b)
+        w_r = jnp.where(sel, s * fr_r * mat_param(6), w_r)
+        w_g = jnp.where(sel, s * fr_g * mat_param(7), w_g)
+        w_b = jnp.where(sel, s * fr_b * mat_param(8), w_b)
         pdf = jnp.where(sel, s, pdf)
         is_delta = is_delta | (sel & ok)
 
     if MAT_ROUGH_CONDUCTOR in families:
         sel = mtype == float(MAT_ROUGH_CONDUCTOR)
-        a = jnp.maximum(params[9:10], 1e-4)
+        a = jnp.maximum(mat_param(9), 1e-4)
         # GGX VNDF (Heitz 2018), mirrors microfacet.py
         vx, vy, vz = _normalize3(a * wix, a * wiy, wiz)
         lensq = vx * vx + vy * vy
@@ -778,22 +825,22 @@ def _bsdf_sample(families, params, wix, wiy, wiz, u0, u1, uc):
         pdf_h = g1i * jnp.abs(wim) * d_ndf / jnp.maximum(wiz, 1e-12)
         pdf_c = pdf_h / jnp.maximum(
             4.0 * jnp.abs(rx * mx + ry * my + rz * mz), 1e-7)
-        fr_r, fr_g, fr_b = _fresnel_cond(params, jnp.abs(wim))
+        fr_r, fr_g, fr_b = _fresnel_cond(mat_param, jnp.abs(wim))
         ok = (wiz > 1e-7) & (rz > 1e-7) & (pdf_c > 0.0)
         s = (sel & ok).astype(jnp.float32)
         nwx = jnp.where(sel, rx, nwx)
         nwy = jnp.where(sel, ry, nwy)
         nwz = jnp.where(sel, rz, nwz)
-        w_r = jnp.where(sel, s * fr_r * params[6:7] * g1o, w_r)
-        w_g = jnp.where(sel, s * fr_g * params[7:8] * g1o, w_g)
-        w_b = jnp.where(sel, s * fr_b * params[8:9] * g1o, w_b)
+        w_r = jnp.where(sel, s * fr_r * mat_param(6) * g1o, w_r)
+        w_g = jnp.where(sel, s * fr_g * mat_param(7) * g1o, w_g)
+        w_b = jnp.where(sel, s * fr_b * mat_param(8) * g1o, w_b)
         pdf = jnp.where(sel, s * pdf_c, pdf)
 
     return nwx, nwy, nwz, w_r, w_g, w_b, pdf, is_delta
 
 
 # ---------------------------------------------------------------------------
-# persistent kernel with path regeneration
+# persistent kernel with path regeneration ([S, B] layout)
 # ---------------------------------------------------------------------------
 # The whole-path kernel wastes ~2/3 of its trace slots on dead lanes (RR +
 # escape kill most paths well before max_depth, but a block only exits when
@@ -805,15 +852,15 @@ def _bsdf_sample(families, params, wix, wiy, wiz, u0, u1, uc):
 # counter RNG stays replayable: draws are keyed by (pixel, sample, bounce)
 # exactly as the XLA integrator).
 
-N_PSTATE = 24    # rows 0..15 as N_STATE; 16 bounce, 17 done,
-                 # 18:21 L_sum, 21 pad, 22 trace count, 23 shadow count
+N_PSTATE = 24    # rows 0..15 as the bounce state; 16 bounce, 17 done,
+                 # 18:21 L_sum, 21 iter diag, 22 trace count, 23 shadow
 
 DIM_PIXEL = 0    # sensor jitter dim (mirrors integrator/common.py)
 
 
 def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                            families: tuple, rr_depth: int, max_depth: int,
-                           m_pad: int, et_pad: int, spp: int,
+                           m_real: int, et_real: int, spp: int,
                            iter_cap: int):
     """consts layout: [0:9] scene consts (as the other kernels), then the
     in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
@@ -825,12 +872,11 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
         cam = tuple(consts_ref[9 + i] for i in range(16))
         woop = woop_ref[:]
         attr_tab = attr_ref[:]
-        mat = mat_ref[:]
-        em = em_ref[:]
-        pixel = pix_ref[:]                    # [1, B] int32: lane's pixel
-        samp0 = samp_ref[:]                   # [1, B] int32: sample base
+        pixel = pix_ref[:]                    # [S, B] int32: lane's pixel
+        samp0 = samp_ref[:]                   # [S, B] int32: sample base
         seed = meta_ref[0]
-        stf = st_in_ref[:]                    # [N_PSTATE, B]
+        st0 = st_in_ref[:]                    # [N_PSTATE, S, B]
+        rows0 = tuple(st0[i] for i in range(N_PSTATE))
 
         (r00, r01, r02, r10, r11, r12, r20, r21, r22,
          cpx, cpy, cpz, tan_half, aspect, wpix, hpix) = cam
@@ -853,27 +899,27 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
             return _normalize3(dx, dy, dz)
 
         def cond(carry):
-            i, st = carry
-            return (i < iter_cap) & (jnp.sum(st[12:13]) > 0.0)
+            i, rows = carry
+            return (i < iter_cap) & (jnp.sum(rows[12]) > 0.0)
 
         def body(carry):
-            i, st = carry
-            bounce = st[16:17].astype(jnp.int32)
-            done = st[17:18]
+            i, rows = carry
+            bounce = rows[16].astype(jnp.int32)
+            done = rows[17]
             samp = samp0 + done.astype(jnp.int32)
-            new16, n_tr, n_sh = _bounce_math(
-                tc, c_clusters, families, rr_depth, max_depth, m_pad,
-                et_pad, woop, attr_tab, mat, em, consts, pixel, samp,
-                seed, bounce, st[:16])
-            was_active = st[12:13] > 0.5
-            now_active = new16[12:13] > 0.5
+            new16, n_tr, n_sh = _bounce_rows(
+                tc, c_clusters, families, rr_depth, max_depth, m_real,
+                et_real, woop, attr_tab, mat_ref, em_ref, consts, pixel,
+                samp, seed, bounce, rows[:16])
+            was_active = rows[12] > 0.5
+            now_active = new16[12] > 0.5
             died = was_active & ~now_active
 
             # on death: bank the finished path's radiance, count it
             df = died.astype(jnp.float32)
-            l_sum_r = st[18:19] + df * new16[9:10]
-            l_sum_g = st[19:20] + df * new16[10:11]
-            l_sum_b = st[20:21] + df * new16[11:12]
+            l_sum_r = rows[18] + df * new16[9]
+            l_sum_g = rows[19] + df * new16[10]
+            l_sum_b = rows[20] + df * new16[11]
             done_new = done + df
 
             # regenerate: lanes that just died and still owe samples
@@ -884,32 +930,32 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
             keep = 1.0 - rf
             zero = jnp.zeros_like(df)
             one = jnp.ones_like(df)
-            st_new = jnp.concatenate([
-                jnp.where(regen, cpx * one, new16[0:1]),
-                jnp.where(regen, cpy * one, new16[1:2]),
-                jnp.where(regen, cpz * one, new16[2:3]),
-                jnp.where(regen, ndx, new16[3:4]),
-                jnp.where(regen, ndy, new16[4:5]),
-                jnp.where(regen, ndz, new16[5:6]),
-                keep * new16[6:7] + rf, keep * new16[7:8] + rf,
-                keep * new16[8:9] + rf,                   # throughput = 1
-                keep * new16[9:10], keep * new16[10:11],
-                keep * new16[11:12],                      # L = 0
-                jnp.maximum(new16[12:13], rf),            # active
-                keep * new16[13:14] + rf,                 # prev_pdf = 1
-                jnp.maximum(new16[14:15], rf),            # prev_delta = 1
-                keep * new16[15:16] + rf,                 # eta = 1
+            new_rows = (
+                jnp.where(regen, cpx * one, new16[0]),
+                jnp.where(regen, cpy * one, new16[1]),
+                jnp.where(regen, cpz * one, new16[2]),
+                jnp.where(regen, ndx, new16[3]),
+                jnp.where(regen, ndy, new16[4]),
+                jnp.where(regen, ndz, new16[5]),
+                keep * new16[6] + rf, keep * new16[7] + rf,
+                keep * new16[8] + rf,                     # throughput = 1
+                keep * new16[9], keep * new16[10],
+                keep * new16[11],                         # L = 0
+                jnp.maximum(new16[12], rf),               # active
+                keep * new16[13] + rf,                    # prev_pdf = 1
+                jnp.maximum(new16[14], rf),               # prev_delta = 1
+                keep * new16[15] + rf,                    # eta = 1
                 jnp.where(regen, zero,
                           bounce.astype(jnp.float32) + 1.0),
                 done_new,
                 l_sum_r, l_sum_g, l_sum_b,
-                st[21:22] + 1.0,          # iterations executed (diag)
-                st[22:23] + n_tr, st[23:24] + n_sh,
-            ], axis=0)
-            return i + 1, st_new
+                rows[21] + 1.0,           # iterations executed (diag)
+                rows[22] + n_tr, rows[23] + n_sh,
+            )
+            return i + 1, new_rows
 
-        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), stf))
-        st_out_ref[:] = st
+        _, rows = jax.lax.while_loop(cond, body, (jnp.int32(0), rows0))
+        st_out_ref[:] = jnp.stack(rows, axis=0)
 
     return kernel
 
@@ -917,47 +963,48 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
 @functools.partial(jax.jit,
                    static_argnames=("tables", "families", "rr_depth",
                                     "max_depth", "spp", "block",
-                                    "iter_cap"))
+                                    "sublanes", "iter_cap"))
 def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
                    consts_cam, state, pixel, samp0, meta_u32,
-                   block=DEF_BLOCK, iter_cap=0):
+                   block=DEF_PBLOCK, sublanes=DEF_SUBLANES, iter_cap=0):
     """Persistent path-regeneration render: every lane completes exactly
-    `spp` paths of its pixel. state [N_PSTATE, Npad] (host-initialised:
-    first camera ray in rows 0..15 with active=1, rows 16.. zero).
-    Returns the final [N_PSTATE, Npad] state: L_sum rows 18:21 / spp is
+    `spp` paths of its pixel.
+
+    state: [N_PSTATE, S, L] with L = total lanes / S (host-initialised:
+    first camera ray in rows 0..15 with active=1, rows 16.. zero);
+    pixel/samp0: [S, L] int32. `block` = S·B total lanes per grid step.
+    Returns the final [N_PSTATE, S, L] state: L_sum rows 18:21 / spp is
     the per-lane radiance mean; rows 22+23 are exact ray counters."""
-    n = state.shape[1]
+    s = sublanes
+    assert block % s == 0
+    b = block // s
+    n = state.shape[2]
+    assert state.shape[1] == s and n % b == 0, (state.shape, s, b)
     c_clusters = tables.woop.shape[0]
-    m_pad = tables.mat.shape[1]
-    et_pad = tables.em_rows.shape[0]
     if iter_cap <= 0:
         cap = spp * (max_depth if max_depth > 0 else 32) + 8
     else:
         cap = iter_cap
     kernel = make_persistent_kernel(tables.tc, c_clusters,
                                     tables.em_count, families, rr_depth,
-                                    max_depth, m_pad, et_pad, spp, cap)
-    grid = (n // block,)
-    full = lambda shape: pl.BlockSpec(shape, lambda r: tuple(
-        0 for _ in shape), memory_space=pltpu.VMEM)
-    col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
-                                    memory_space=pltpu.VMEM)
+                                    max_depth, tables.m_real,
+                                    tables.et_real, spp, cap)
+    grid = (n // b,)
+    col3 = pl.BlockSpec((N_PSTATE, s, b), lambda r: (0, 0, r),
+                        memory_space=pltpu.VMEM)
+    col2 = pl.BlockSpec((s, b), lambda r: (0, r),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            full(tables.woop.shape),
-            full(tables.attr.shape),
-            full(tables.mat.shape),
-            full(tables.em_rows.shape),
-            col(1),                                   # pixel
-            col(1),                                   # samp base
+        in_specs=_table_specs(tables) + [
+            col2,                                     # pixel
+            col2,                                     # samp base
             pl.BlockSpec(memory_space=pltpu.SMEM),    # meta_u32
             pl.BlockSpec(memory_space=pltpu.SMEM),    # consts + camera
-            col(N_PSTATE),
-        ],
-        out_specs=col(N_PSTATE),
-        out_shape=jax.ShapeDtypeStruct((N_PSTATE, n), jnp.float32),
+        ] + [col3],
+        out_specs=col3,
+        out_shape=jax.ShapeDtypeStruct((N_PSTATE, s, n), jnp.float32),
     )(tables.woop, tables.attr, tables.mat, tables.em_rows,
       pixel, samp0, meta_u32, jnp.asarray(consts_cam, jnp.float32), state)
     return out

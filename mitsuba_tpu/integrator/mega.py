@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel.megakernel import (DEF_BLOCK, MegaTables, N_STATE,
-                                build_mega_tables, run_path)
+from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
+                                MegaTables, N_STATE, build_mega_tables,
+                                run_path)
 from ..scene.scene import EM_AREA, EM_CONSTANT, SceneData
 from .path import PathTracer
 
@@ -30,11 +31,13 @@ class MegaPathTracer(PathTracer):
     """eq=False: jit caches per instance (tables are captured arrays)."""
     tables: MegaTables | None = None
     meta_consts: tuple = ()
-    block: int = DEF_BLOCK
+    block: int = DEF_BLOCK      # lanes per run_path block ([16, B] rows)
+    pblock: int = DEF_PBLOCK    # total lanes (S·B) per persistent block
 
     @staticmethod
     def for_scene(scene: SceneData, max_depth: int = 8, rr_depth: int = 5,
-                  block: int = DEF_BLOCK) -> "MegaPathTracer":
+                  block: int = DEF_BLOCK,
+                  pblock: int = DEF_PBLOCK) -> "MegaPathTracer":
         em_types = np.asarray(scene.em_type)
         n_area = int((em_types == EM_AREA).sum())
         n_const = int((em_types == EM_CONSTANT).sum())
@@ -65,7 +68,7 @@ class MegaPathTracer(PathTracer):
         return MegaPathTracer(
             max_depth=max_depth, rr_depth=rr_depth, families=fams,
             tables=build_mega_tables(scene), meta_consts=consts,
-            block=block)
+            block=block, pblock=pblock)
 
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
         return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
@@ -128,13 +131,16 @@ def render_persistent(integ: MegaPathTracer, camera, spp: int,
 
 @functools.partial(jax.jit, static_argnames=("integ", "camera", "spp"))
 def _render_persistent(integ, camera, spp, seed):
-    from ..accel.megakernel import N_PSTATE, run_persistent
+    from ..accel.megakernel import (DEF_SUBLANES, N_PSTATE, run_persistent)
     from ..core import rng as _rng
 
     w, h = camera.width, camera.height
     n = w * h
-    block = integ.block
-    n_pad = -(-n // block) * block
+    block = integ.pblock
+    s = DEF_SUBLANES
+    n_pad = -(-n // block) * block      # total lanes
+    bb = block // s                     # lanes per sub-block row
+    rr = n_pad // block                 # grid steps
 
     r = np.asarray(camera.to_world[:3, :3], np.float32)
     t = np.asarray(camera.to_world[:3, 3], np.float32)
@@ -147,34 +153,43 @@ def _render_persistent(integ, camera, spp, seed):
            tan_half, float(aspect), float(w), float(h))
     consts = tuple(integ.meta_consts[:9]) + cam
 
-    pix = jnp.arange(n_pad, dtype=jnp.int32) % jnp.int32(n)
-    samp0 = jnp.zeros((n_pad,), jnp.int32)
+    # lane (grid r, sublane s, lane b) owns pixel ((r·S + s)·B + b) % n —
+    # identity for the first n lanes, duplicates beyond
+    pix_flat = jnp.arange(n_pad, dtype=jnp.int32) % jnp.int32(n)
+    to_sb = lambda x: x.reshape(rr, s, bb).transpose(1, 0, 2) \
+        .reshape(s, rr * bb)
+    pix = to_sb(pix_flat)
+    samp0 = jnp.zeros((s, rr * bb), jnp.int32)
     # first camera ray (sample 0), matching the in-kernel regen
-    jitter = _rng.sample_2d(seed, pix.astype(jnp.uint32), 0, 0)
-    pos = jnp.stack([(pix % w).astype(jnp.float32) + jitter[..., 0],
-                     (pix // w).astype(jnp.float32) + jitter[..., 1]],
-                    axis=-1)
+    jitter = _rng.sample_2d(seed, pix_flat.astype(jnp.uint32), 0, 0)
+    pos = jnp.stack(
+        [(pix_flat % w).astype(jnp.float32) + jitter[..., 0],
+         (pix_flat // w).astype(jnp.float32) + jitter[..., 1]], axis=-1)
     o, d = camera.sample_ray(pos)
-    state = jnp.zeros((N_PSTATE, n_pad))
-    state = state.at[0:3].set(o.T).at[3:6].set(d.T)
-    state = state.at[6:9].set(1.0)       # throughput
-    state = state.at[12].set(1.0)        # active
-    state = state.at[13].set(1.0)        # prev_pdf
-    state = state.at[14].set(1.0)        # prev_delta
-    state = state.at[15].set(1.0)        # eta
+    zeros = jnp.zeros((n_pad,))
+    ones = jnp.ones((n_pad,))
+    rows = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            ones, ones, ones,            # throughput
+            zeros, zeros, zeros,         # L
+            ones,                        # active
+            ones, ones, ones]            # prev_pdf, prev_delta, eta
+    rows += [zeros] * (N_PSTATE - 16)
+    state = jnp.stack([to_sb(x) for x in rows], axis=0)
     meta = jnp.stack([seed.astype(jnp.int32),
                       jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                       jnp.zeros((), jnp.int32)])
 
     out = run_persistent(integ.tables, integ.families, integ.rr_depth,
                          integ.max_depth, spp, consts, state,
-                         pix[None, :], samp0[None, :], meta,
-                         block=block)
-    # lanes beyond n are duplicates of early pixels; take the first n
-    l_sum = out[18:21, :n].T / spp
-    n_rays = (jnp.sum(out[22]) + jnp.sum(out[23])).astype(jnp.uint32)
+                         pix, samp0, meta, block=block, sublanes=s)
+    # back to pixel-ordered [N_PSTATE, n_pad]
+    out_flat = out.reshape(N_PSTATE, s, rr, bb).transpose(0, 2, 1, 3) \
+        .reshape(N_PSTATE, n_pad)
+    l_sum = out_flat[18:21, :n].T / spp
+    n_rays = (jnp.sum(out_flat[22]) + jnp.sum(out_flat[23])) \
+        .astype(jnp.uint32)
     # duplicated lanes traced too — subtract their share for exact counts
     if n_pad != n:
-        dup = out[22:24, n:]
+        dup = out_flat[22:24, n:]
         n_rays = n_rays - jnp.sum(dup).astype(jnp.uint32)
     return l_sum.reshape(h, w, 3), n_rays

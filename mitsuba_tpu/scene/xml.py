@@ -232,6 +232,61 @@ _BSDF_MAP = {
 }
 
 
+def _expand_includes(root, base, params, depth=0):
+    """Splice <include filename="..."/> children in place (ref:
+    scenehandler.cpp handles <include> by re-entrant SAX parse). Included
+    files must themselves be <scene> documents; nesting is bounded."""
+    if depth > 8:
+        raise ValueError("<include> nesting too deep (cycle?)")
+    i = 0
+    while i < len(root):
+        elem = root[i]
+        if elem.tag == "include":
+            fname = _subst(elem.get("filename", ""), params)
+            sub = ET.parse(os.path.join(base, fname)).getroot()
+            if sub.tag != "scene":
+                raise ValueError(f"included {fname}: root must be <scene>")
+            _expand_includes(sub, base, params, depth + 1)
+            root.remove(elem)
+            for j, child in enumerate(list(sub)):
+                root.insert(i + j, child)
+        else:
+            i += 1
+
+
+# pre-0.5 scene-format upgrades, the load-time equivalent of the
+# reference's XSLT chain (ref: data/schema/upgrade_0.{3,4,5}.0.xsl)
+_UPGRADE_TAGS = {"camera": "sensor", "luminaire": "emitter"}
+_UPGRADE_PROPS = {"diffuseReflectance": "reflectance"}
+_UPGRADE_TYPES = {"exrfilm": "hdrfilm", "pngfilm": "ldrfilm",
+                  "lambertian": "diffuse", "microfacet": "roughplastic"}
+
+
+def _upgrade_tree(root, version: str):
+    """In-place upgrade of 0.3/0.4-era documents to the 0.5 vocabulary."""
+    try:
+        major, minor = (int(x) for x in version.split(".")[:2])
+    except ValueError:
+        return
+    if (major, minor) >= (0, 5):
+        return
+    for elem in root.iter():
+        if elem.tag in _UPGRADE_TAGS:
+            elem.tag = _UPGRADE_TAGS[elem.tag]
+        t = elem.get("type")
+        if t in _UPGRADE_TYPES:
+            elem.set("type", _UPGRADE_TYPES[t])
+        n = elem.get("name")
+        if n in _UPGRADE_PROPS:
+            elem.set("name", _UPGRADE_PROPS[n])
+    # 0.3 area luminaires used "intensity" for what 0.5 calls "radiance"
+    for em in root.iter("emitter"):
+        if em.get("type") == "area":
+            for child in em:
+                if child.get("name") == "intensity":
+                    child.set("name", "radiance")
+
+
 def load_xml(path: str, parameters: dict | None = None,
              strict: bool = False) -> LoadedScene:
     """Load a scene XML file. `parameters` supplies $key substitutions
@@ -241,6 +296,9 @@ def load_xml(path: str, parameters: dict | None = None,
     tree = ET.parse(path)
     root = tree.getroot()
     assert root.tag == "scene", "root element must be <scene>"
+    _expand_includes(root, base, params)
+    if root.get("version"):
+        _upgrade_tree(root, root.get("version"))
 
     desc = SceneDesc()
     camera = None
@@ -664,8 +722,18 @@ def load_xml(path: str, parameters: dict | None = None,
                                      albedo=tuple(albedo), g=g)
             else:
                 warn_or_raise(f"unsupported medium {elem.get('type')}")
-        elif tag in ("alias", "include", "null"):
-            warn_or_raise(f"unsupported top-level tag <{tag}>")
+        elif tag == "alias":
+            # <alias id="existing" as="newname"/> — second handle for a
+            # named object (ref: scenehandler.cpp alias handling); BSDFs
+            # are the only ref target in this loader
+            src, dst = elem.get("id"), elem.get("as")
+            if src in named_materials and dst:
+                named_materials[dst] = named_materials[src]
+            else:
+                warn_or_raise(f"<alias> of unknown id {src}")
+        elif tag in ("include", "null"):
+            # <include> is spliced before this loop; <null> is a no-op
+            pass
 
     if camera is None:
         camera = PerspectiveCamera(width=film.width, height=film.height)

@@ -165,3 +165,131 @@ def normal_mipmap(normal_map, n_levels: int | None = None):
         m2 = 0.25 * (m2[:nh*2:2, :nw*2:2] + m2[1:nh*2:2, :nw*2:2]
                      + m2[:nh*2:2, 1:nw*2:2] + m2[1:nh*2:2, 1:nw*2:2])
     return levels
+
+
+# ---------------------------------------------------------------------------
+# SH projection of BSDF lobes / phase functions
+# ---------------------------------------------------------------------------
+
+def sh_project_bsdf(mat_code, params, theta_i: float, bands: int = 4,
+                    n_samples: int = 1 << 18, seed: int = 0):
+    """Project a material's outgoing lobe (for incidence θ_i) onto real
+    spherical harmonics — the shProjection* utilities (ref:
+    src/utils/shProjection*.cpp). MC estimate: coeffs_l^m =
+    E[w · Y_l^m(ω_o)] / E_pdf, using sample() importance sampling so the
+    estimator is exact for the sampled lobe. Returns luminance SH coeffs
+    [(bands)²]."""
+    import mitsuba_tpu.bsdf.bsdf as B
+    from ..core import sh
+    params = jnp.asarray(params)
+    wi = jnp.asarray([np.sin(theta_i), 0.0, np.cos(theta_i)], jnp.float32)
+    lane = jnp.arange(n_samples, dtype=jnp.uint32)
+    u2 = rng.sample_2d(seed, lane, 0)
+    u1 = rng.sample_1d(seed, lane, 1)
+    bs = B.sample_bsdf(jnp.full((n_samples,), mat_code, jnp.int32),
+                       jnp.broadcast_to(params,
+                                        (n_samples,) + params.shape),
+                       jnp.broadcast_to(wi, (n_samples, 3)), u2, u1)
+    lum = (0.212671 * bs.weight[..., 0] + 0.715160 * bs.weight[..., 1]
+           + 0.072169 * bs.weight[..., 2])
+    basis = sh.eval_basis(bands, bs.wo)               # [N, bands²]
+    return jnp.mean(lum[:, None] * basis, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# albedo clustering (k-means over texel albedos)
+# ---------------------------------------------------------------------------
+
+def albedo_cluster(albedo_map, k: int = 8, n_iter: int = 25, seed: int = 0):
+    """Cluster an albedo map's texels into k representative albedos —
+    the albedoCluster utility (ref: src/utils/albedoCluster.cpp), used to
+    quantize spatially-varying appearance into a small lobe table.
+
+    albedo_map: [H, W, 3]. Returns (centers [k, 3], labels [H, W])."""
+    a = np.asarray(albedo_map, np.float64).reshape(-1, 3)
+    rs = np.random.default_rng(seed)
+    centers = a[rs.choice(len(a), size=k, replace=len(a) < k)]
+    labels = np.zeros(len(a), np.int64)
+    for _ in range(n_iter):
+        d2 = ((a[:, None, :] - centers[None]) ** 2).sum(-1)
+        labels = d2.argmin(1)
+        for j in range(k):
+            sel = labels == j
+            if sel.any():
+                centers[j] = a[sel].mean(0)
+            else:
+                # empty cluster: reseed at the worst-represented texel
+                centers[j] = a[d2.min(1).argmax()]
+    return (centers.astype(np.float32),
+            labels.reshape(np.asarray(albedo_map).shape[:2]))
+
+
+# ---------------------------------------------------------------------------
+# grid-volume resampling (up/down-sampling utilities)
+# ---------------------------------------------------------------------------
+
+def volume_downsample(grid, factor: int = 2):
+    """Box-average a density grid by an integer factor per axis — the
+    volume down-sampling tools (ref: src/utils volume up/down-sampling,
+    SURVEY §2.4). grid: [Z, Y, X] or [Z, Y, X, C]."""
+    g = np.asarray(grid, np.float64)
+    has_c = g.ndim == 4
+    if not has_c:
+        g = g[..., None]
+    z, y, x, c = g.shape
+    f = factor
+    nz, ny, nx = max(1, z // f), max(1, y // f), max(1, x // f)
+    g = g[:nz * f, :ny * f, :nx * f]
+    g = g.reshape(nz, f, ny, f, nx, f, c).mean(axis=(1, 3, 5))
+    return (g if has_c else g[..., 0]).astype(np.float32)
+
+
+def volume_upsample(grid, factor: int = 2):
+    """Trilinear upsample of a density grid by an integer factor —
+    matches gridvolume's trilinear lookup semantics so resampled volumes
+    render consistently."""
+    g = np.asarray(grid, np.float32)
+    has_c = g.ndim == 4
+    if not has_c:
+        g = g[..., None]
+    z, y, x, c = g.shape
+    f = factor
+
+    def axis_coords(n):
+        # sample positions at new-texel centers in old-texel coordinates
+        return np.clip((np.arange(n * f) + 0.5) / f - 0.5, 0, n - 1)
+
+    zc, yc, xc = axis_coords(z), axis_coords(y), axis_coords(x)
+
+    def lerp_axis(arr, coords, axis):
+        i0 = np.floor(coords).astype(int)
+        i1 = np.minimum(i0 + 1, arr.shape[axis] - 1)
+        w = (coords - i0).reshape([-1 if a == axis else 1
+                                   for a in range(arr.ndim)])
+        return (np.take(arr, i0, axis) * (1 - w)
+                + np.take(arr, i1, axis) * w)
+
+    g = lerp_axis(g, zc, 0)
+    g = lerp_axis(g, yc, 1)
+    g = lerp_axis(g, xc, 2)
+    return (g if has_c else g[..., 0]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# lobe derivatives (the fork's forward-mode appearance derivatives)
+# ---------------------------------------------------------------------------
+
+def lobe_derivative(weights, lobe_values):
+    """d(mixture BSDF value)/d(lobe weight_k) for a linear multi-lobe
+    combination f = Σ_k w_k f_k: the derivative is just the lobe value
+    f_k, matching the fork's lobeDerivative accumulators
+    (ref: src/utils/bsdfSimulator/lobeDerivative_proc.h, SURVEY A.9 —
+    the per-path (TdW[k], LdW[k]) quantities). jax.grad through the
+    framework's mixture BSDFs computes the same thing path-wide; this
+    helper exposes the per-vertex factor for parity tests."""
+    weights = jnp.asarray(weights)
+    lobe_values = jnp.asarray(lobe_values)
+    f = jnp.sum(weights[..., None] * lobe_values, axis=-2) \
+        if lobe_values.ndim > weights.ndim else \
+        jnp.sum(weights * lobe_values, axis=-1)
+    return f, lobe_values

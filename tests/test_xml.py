@@ -108,3 +108,52 @@ def test_param_substitution(tmp_path):
     p.write_text(xml)
     loaded = load_xml(str(p), parameters={"depth": 7})
     assert loaded.integrator_config["max_depth"] == 7
+
+
+def test_include_and_alias(tmp_path):
+    """<include> splices a child document; <alias> second-names a BSDF
+    (ref: scenehandler.cpp include/alias handling)."""
+    (tmp_path / "mats.xml").write_text("""<scene version="0.5.0">
+      <bsdf type="diffuse" id="white">
+        <rgb name="reflectance" value="0.7 0.7 0.7"/>
+      </bsdf>
+      <alias id="white" as="wall"/>
+    </scene>""")
+    (tmp_path / "main.xml").write_text("""<scene version="0.5.0">
+      <include filename="mats.xml"/>
+      <shape type="rectangle"><ref id="wall"/></shape>
+    </scene>""")
+    loaded = load_xml(str(tmp_path / "main.xml"))
+    assert len(loaded.desc.shapes) == 1
+    scene = loaded.compile(cluster_size=64)
+    assert int((np.asarray(scene.tri_area) > 0).sum()) == 2
+
+
+def test_version_upgrade(tmp_path):
+    """Pre-0.5 documents (camera/luminaire vocabulary) load via the
+    upgrade shim (ref: data/schema/upgrade_0.4.0.xsl)."""
+    (tmp_path / "old.xml").write_text("""<scene version="0.4.0">
+      <camera type="perspective">
+        <float name="fov" value="45"/>
+        <film type="exrfilm">
+          <integer name="width" value="16"/>
+          <integer name="height" value="16"/>
+        </film>
+      </camera>
+      <bsdf type="lambertian" id="w">
+        <rgb name="diffuseReflectance" value="0.5 0.5 0.5"/>
+      </bsdf>
+      <shape type="rectangle">
+        <ref id="w"/>
+        <luminaire type="area">
+          <rgb name="intensity" value="3 3 3"/>
+        </luminaire>
+      </shape>
+    </scene>""")
+    loaded = load_xml(str(tmp_path / "old.xml"))
+    assert loaded.film.width == 16
+    assert len(loaded.desc.shapes) == 1
+    m = loaded.desc.materials[loaded.desc.shapes[0].material]
+    assert abs(m.albedo[0] - 0.5) < 1e-6
+    scene = loaded.compile(cluster_size=64)
+    assert scene.n_emitters >= 1
