@@ -34,7 +34,7 @@ from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
 BASELINE_RAYS_PER_S = 1e9
 
 WIDTH = HEIGHT = 256
-SPP_PER_PASS = 1024       # paths per lane per timed pass
+SPP_PER_PASS = 2048       # paths per lane per timed pass
 N_TIMED_PASSES = 2
 MAX_DEPTH = 8
 

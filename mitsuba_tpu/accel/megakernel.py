@@ -66,7 +66,9 @@ SENSOR_DIMS = 4
 DIMS_PER_BOUNCE = 8
 DIM_NEE_SEL, DIM_NEE_POS, DIM_BSDF_U2, DIM_BSDF_U1, DIM_RR = 0, 1, 2, 3, 4
 
-N_ATTR = 8            # slim per-triangle attrs: ng xyz, mat_id, em_id, pad
+N_ATTR = 16           # slim per-triangle attrs: ng xyz (0:3), mat_id (3),
+                      # em_id (4), vn0 xyz (5:8), vn1-vn0 (8:11),
+                      # vn2-vn0 (11:14), pad (14:16)
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +145,7 @@ class MegaTables:
     eq=False → identity hash, so it can ride jit as a static argument
     (the arrays become compile-time constants)."""
     woop: jnp.ndarray        # [C, 3*tc, 4] VMEM
-    attr: jnp.ndarray        # [T, 8] slim attrs: ng|mat_id|em_id|pad, VMEM
+    attr: jnp.ndarray        # [C, tc, N_ATTR] slim attrs (cluster-major)
     mat: jnp.ndarray         # [16, M_pad] mat_params transposed, SMEM
     em_rows: jnp.ndarray     # [ET_pad, 16]: p0|e1|e2|ng|cdfg|area|pmf|emid
     em_count: int
@@ -151,6 +153,7 @@ class MegaTables:
     tc: int
     m_real: int              # actual material rows (select-chain length)
     et_real: int             # actual emissive-triangle rows
+    smooth: bool = True      # any vn ≠ ng? False skips barycentric work
 
 
 def build_mega_tables(scene: SceneData, tc: int | None = None
@@ -182,14 +185,19 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
     woop_cl = w_p.reshape(c_clusters, tc, 3, 4).transpose(0, 2, 1, 3) \
         .reshape(c_clusters, 3 * tc, 4)
 
-    # slim attrs: the fused bounce needs only ng (tri_attr cols 0:3),
-    # mat_id (col 18) and em_id (col 19) — flat-shading scenes only
+    # slim attrs: ng (tri_attr cols 0:3), mat/em ids (cols 18:20), and the
+    # corner shading normals (cols 3:12) stored as vn0 + deltas so the
+    # kernel interpolates ns = vn0 + u·(vn1−vn0) + v·(vn2−vn0)
     attr_p = np.zeros((t_pad, N_ATTR), np.float32)
     n_a = min(attr.shape[0], t_pad)
     attr_p[:n_a, 0:3] = attr[:n_a, 0:3]
     attr_p[:n_a, 3] = attr[:n_a, 18]
     attr_p[:n_a, 4] = attr[:n_a, 19]
+    attr_p[:n_a, 5:8] = attr[:n_a, 3:6]                       # vn0
+    attr_p[:n_a, 8:11] = attr[:n_a, 6:9] - attr[:n_a, 3:6]    # vn1-vn0
+    attr_p[:n_a, 11:14] = attr[:n_a, 9:12] - attr[:n_a, 3:6]  # vn2-vn0
     attr_p[n_a:, 4] = -1.0    # padding tris: em_id = -1
+    attr_p = attr_p.reshape(c_clusters, tc, N_ATTR)
 
     mat = np.asarray(scene.mat_params)
     m_real = mat.shape[0]
@@ -222,18 +230,26 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         n_tris=n_real,
         tc=tc,
         m_real=m_real,
-        et_real=max(et, 1))
+        et_real=max(et, 1),
+        smooth=bool(np.any(np.abs(attr_p[:, 8:14]) > 1e-7)))
 
 
 # ---------------------------------------------------------------------------
 # in-kernel trace ([Tc, B] triangles-on-sublanes layout)
 # ---------------------------------------------------------------------------
 
-def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
-                  attr_ref=None):
+MAX_UNROLLED_CLUSTERS = 4    # >4 unrolled cluster traces at block 2048
+                             # exceed the 16 MB scoped-VMEM budget
+
+
+def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
+                  maxt, attr_ref=None, need_uv=True):
     """In-kernel closest-hit trace over all clusters for ONE [1, B] ray
-    row. Returns t_best [1,B] and, if attr_ref given, the [N_ATTR, B]
-    selected attribute columns.
+    row. woop_ref/attr_ref are VMEM refs ([C, 3tc, 4] and
+    [C, tc, N_ATTR]); clusters are loaded per iteration. Small cluster
+    counts unroll (lets Mosaic software-pipeline); large ones run a
+    fori_loop so live intermediates stay O(one cluster) — an unrolled
+    17-cluster trace blew the 16 MB scoped-VMEM budget.
 
     The Woop ray transform is elementwise VPU work: per cluster, the
     affine origin transform and linear direction transform are 21
@@ -243,13 +259,15 @@ def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
 
     No safe-dz clamp: rays parallel to a triangle plane produce inf/NaN
     t/u/v, which fail the mask compares (NaN compares false), and the
-    |d'_z| ≥ ε mask term rejects them explicitly."""
-    b = ox.shape[-1]
-    t_best = jnp.full((1, b), _MISS)
-    attr_best = jnp.zeros((N_ATTR, b)) if attr_ref is not None else None
+    |d'_z| ≥ ε mask term rejects them explicitly.
 
-    for c in range(c_clusters):
-        w = woop[c]                                     # [3tc, 4]
+    Returns t_best [1,B]; with attr_ref, (t_best, attr_best [N_ATTR, B],
+    u_best, v_best) — winner barycentrics (None unless need_uv)."""
+    b = ox.shape[-1]
+    want_attr = attr_ref is not None
+
+    def cluster_step(c, t_best, attr_best, u_best, v_best):
+        w = woop_ref[c]                                 # [3tc, 4]
 
         def comp(k):
             w0 = w[k * tc:(k + 1) * tc, 0:1]
@@ -267,24 +285,77 @@ def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
         v = opy + t * dpy
         inside = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
         mask = ((inside >= 0.0) & (jnp.abs(dpz) >= _DZ_EPS)
-                & (t > mint) & (t < maxt))
+                & (t > mint))
+        if maxt is not None:
+            mask = mask & (t < maxt)
+        # maxt=None (closest pass, far plane = _MISS): a masked-in t >
+        # _MISS can never win the min against the _MISS fill, so the
+        # compare is dropped
         tm = jnp.where(mask, t, _MISS)
         t_c = jnp.min(tm, axis=0, keepdims=True)
         closer = t_c < t_best
         t_best = jnp.where(closer, t_c, t_best)
-        if attr_ref is not None:
+        if want_attr:
             rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
             hit_rows = jnp.where(tm == t_c, rows, tc)
             row_best = jnp.min(hit_rows, axis=0, keepdims=True)
-            sel = ((rows == row_best) & mask).astype(jnp.float32)  # [tc,B]
-            a_c = attr_ref[c * tc:(c + 1) * tc, :]             # [tc,N_ATTR]
+            selb = (rows == row_best) & mask
+            sel = selb.astype(jnp.float32)                     # [tc, B]
+            a_c = attr_ref[c]                              # [tc, N_ATTR]
             # HIGHEST precision: a bf16 pass would round table values
             # (e.g. a normal component) and break shading
             attr_c = jax.lax.dot_general(
                 a_c, sel, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)           # [N_ATTR, B]
+                precision=jax.lax.Precision.HIGHEST)       # [N_ATTR, B]
             attr_best = jnp.where(closer, attr_c, attr_best)
+            if need_uv:
+                # winner barycentrics (masked lanes may hold inf·0 junk)
+                zero = jnp.zeros_like(u)
+                u_c = jnp.sum(jnp.where(selb, u, zero), axis=0,
+                              keepdims=True)
+                v_c = jnp.sum(jnp.where(selb, v, zero), axis=0,
+                              keepdims=True)
+                u_best = jnp.where(closer, u_c, u_best)
+                v_best = jnp.where(closer, v_c, v_best)
+        return t_best, attr_best, u_best, v_best
+
+    t_best = jnp.full((1, b), _MISS)
+    attr_best = jnp.zeros((N_ATTR, b)) if want_attr else None
+    u_best = v_best = None
+    if want_attr and need_uv:
+        u_best = jnp.zeros((1, b))
+        v_best = jnp.zeros((1, b))
+
+    if c_clusters <= MAX_UNROLLED_CLUSTERS:
+        for c in range(c_clusters):
+            t_best, attr_best, u_best, v_best = cluster_step(
+                c, t_best, attr_best, u_best, v_best)
+    else:
+        carry = tuple(x for x in (t_best, attr_best, u_best, v_best)
+                      if x is not None)
+
+        def body(c, carry):
+            parts = list(carry) + [None] * (4 - len(carry))
+            if not want_attr:
+                parts = [parts[0], None, None, None]
+            elif not need_uv:
+                parts = [parts[0], parts[1], None, None]
+            out = cluster_step(c, *parts)
+            return tuple(x for x in out if x is not None)
+
+        carry = jax.lax.fori_loop(0, c_clusters, body, carry)
+        parts = list(carry) + [None] * (4 - len(carry))
+        if not want_attr:
+            t_best, attr_best, u_best, v_best = parts[0], None, None, None
+        elif not need_uv:
+            t_best, attr_best = parts[0], parts[1]
+            u_best = v_best = None
+        else:
+            t_best, attr_best, u_best, v_best = parts[:4]
+
+    if want_attr:
+        return t_best, attr_best, u_best, v_best
     return t_best, attr_best
 
 
@@ -293,8 +364,8 @@ def _trace_inline(woop, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint, maxt,
 # ---------------------------------------------------------------------------
 
 def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
-                 m_real, et_real, woop, attr_tab, mat_sm, em_sm, consts,
-                 pixel, samp, seed, bounce, rows):
+                 m_real, et_real, smooth, woop_ref, attr_ref, mat_sm,
+                 em_sm, consts, pixel, samp, seed, bounce, rows):
     """One path-tracer bounce over [S, B] shading blocks.
 
     rows: tuple of 16 [S, B] f32 blocks (o xyz, d xyz, throughput rgb,
@@ -314,17 +385,21 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     scale = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
                               jnp.abs(oz))
     mint = 1e-4 * scale
-    t_rows, a_rows = [], []
+    t_rows, a_rows, u_rows, v_rows = [], [], [], []
     for s in range(s_blocks):
-        maxt_row = jnp.full((1, ox.shape[1]), _MISS)
-        t_s, attr_s = _trace_inline(
-            woop, tc, c_clusters,
+        t_s, attr_s, u_s, v_s = _trace_inline(
+            woop_ref, tc, c_clusters,
             ox[s:s + 1], oy[s:s + 1], oz[s:s + 1],
             dx[s:s + 1], dy[s:s + 1], dz[s:s + 1],
-            mint[s:s + 1], maxt_row, attr_tab)
+            mint[s:s + 1], None, attr_ref, need_uv=smooth)
         t_rows.append(t_s)
         a_rows.append(attr_s)
+        u_rows.append(u_s)
+        v_rows.append(v_s)
     t_best = jnp.concatenate(t_rows, axis=0)                   # [S, B]
+    if smooth:
+        u_hit = jnp.concatenate(u_rows, axis=0)
+        v_hit = jnp.concatenate(v_rows, axis=0)
     gather = lambda r: jnp.concatenate(
         [a[r:r + 1] for a in a_rows], axis=0)
     ngx, ngy, ngz = gather(0), gather(1), gather(2)
@@ -379,8 +454,16 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     else:
         depth = jnp.asarray(bounce, jnp.int32).astype(jnp.float32) + 2.0
 
-    # ---- shading frame -------------------------------------------------
-    nsx, nsy, nsz = ngx, ngy, ngz        # flat shading (megakernel scope)
+    # ---- shading frame (barycentric-interpolated vertex normals, as
+    # dense.fill_intersection: ns = vn0 + u·Δvn1 + v·Δvn2, normalized;
+    # all-flat scenes skip the interpolation statically) ----------------
+    if smooth:
+        nsx, nsy, nsz = _normalize3(
+            gather(5) + u_hit * gather(8) + v_hit * gather(11),
+            gather(6) + u_hit * gather(9) + v_hit * gather(12),
+            gather(7) + u_hit * gather(10) + v_hit * gather(13))
+    else:
+        nsx, nsy, nsz = ngx, ngy, ngz
     (sx, sy, sz), (tx_, ty_, tz_) = _coordsys(nsx, nsy, nsz)
     wil_x = -(dx * sx + dy * sy + dz * sz)
     wil_y = -(dx * tx_ + dy * ty_ + dz * tz_)
@@ -436,7 +519,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     lit_rows = []
     for s in range(s_blocks):
         t_sh, _ = _trace_inline(
-            woop, tc, c_clusters,
+            woop_ref, tc, c_clusters,
             sox[s:s + 1], soy[s:s + 1], soz[s:s + 1],
             ldx[s:s + 1], ldy[s:s + 1], ldz[s:s + 1],
             smint[s:s + 1], smaxt[s:s + 1], None)
@@ -451,7 +534,11 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
         families, mat_param, mtype, wil_x, wil_y, wil_z,
         wol_x, wol_y, wol_z)
     mis_nee = _mis(pdf_nee, pdf_fwd)
-    contrib = (hit & lit & (pdf_nee > 0.0)).astype(jnp.float32) \
+    # skip NEE when the connection vertex would exceed maxDepth
+    # (path.cpp:169-180 via integrator/path.py nee_allowed)
+    nee_ok = hit if max_depth <= 0 else \
+        hit & (depth + 1.0 <= float(max_depth) + 1.0)
+    contrib = (nee_ok & lit & (pdf_nee > 0.0)).astype(jnp.float32) \
         * mis_nee / jnp.maximum(pdf_nee, 1e-12)
     lr = lr + tpr * le_r * f_r * contrib
     lg = lg + tpg * le_g * f_g * contrib
@@ -502,7 +589,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
         eta_scale,
     )
     return (new_rows, active.astype(jnp.float32),
-            (hit & (pdf_nee > 0.0)).astype(jnp.float32))
+            (nee_ok & (pdf_nee > 0.0)).astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -515,17 +602,21 @@ def _state_to_rows(st):
 
 def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
                        families: tuple, rr_depth: int, max_depth: int,
-                       m_real: int, et_real: int):
+                       m_real: int, et_real: int, smooth: bool):
     """Single-bounce kernel (one pallas_call per bounce; kept for
     incremental/debug use — run_path/run_persistent are the fast paths)."""
 
     def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
                meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
+        woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
+            else woop_ref
+        attr_h = attr_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
+            else attr_ref
         new_rows, s_tr, s_sh = _bounce_rows(
             tc, c_clusters, families, rr_depth, max_depth, m_real,
-            et_real, woop_ref[:], attr_ref[:], mat_ref, em_ref, consts,
-            pix_ref[:], samp_ref[:], meta_ref[0], meta_ref[2],
+            et_real, smooth, woop_h, attr_h, mat_ref, em_ref,
+            consts, pix_ref[:], samp_ref[:], meta_ref[0], meta_ref[2],
             _state_to_rows(st_in_ref[:]))
         st_out_ref[:] = jnp.concatenate(list(new_rows) + [s_tr, s_sh],
                                         axis=0)
@@ -535,7 +626,8 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
 
 def make_path_kernel(tc: int, c_clusters: int, em_count: int,
                      families: tuple, rr_depth: int, max_depth: int,
-                     m_real: int, et_real: int, n_bounces: int):
+                     m_real: int, et_real: int, smooth: bool,
+                     n_bounces: int):
     """Whole-path megakernel: the ENTIRE bounce loop runs inside one Pallas
     program. Path state lives in VMEM/vector registers for all bounces —
     zero inter-bounce HBM traffic, one dispatch per render pass — and the
@@ -544,8 +636,10 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
     def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
                meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
-        woop = woop_ref[:]
-        attr_tab = attr_ref[:]
+        woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
+            else woop_ref
+        attr_h = attr_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
+            else attr_ref
         pixel = pix_ref[:]
         samp = samp_ref[:]
         seed = meta_ref[0]
@@ -562,8 +656,8 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
             i, st, s0, s1 = carry
             new_rows, t0, t1 = _bounce_rows(
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
-                et_real, woop, attr_tab, mat_ref, em_ref, consts, pixel,
-                samp, seed, i, _state_to_rows(st))
+                et_real, smooth, woop_h, attr_h, mat_ref, em_ref,
+                consts, pixel, samp, seed, i, _state_to_rows(st))
             return i + 1, jnp.concatenate(new_rows, axis=0), s0 + t0, \
                 s1 + t1
 
@@ -607,7 +701,8 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
     c_clusters = tables.woop.shape[0]
     kernel = make_bounce_kernel(tables.tc, c_clusters, tables.em_count,
                                 families, rr_depth, max_depth,
-                                tables.m_real, tables.et_real)
+                                tables.m_real, tables.et_real,
+                                tables.smooth)
     grid = (n // block,)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
@@ -641,7 +736,8 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
     c_clusters = tables.woop.shape[0]
     kernel = make_path_kernel(tables.tc, c_clusters, tables.em_count,
                               families, rr_depth, max_depth,
-                              tables.m_real, tables.et_real, n_bounces)
+                              tables.m_real, tables.et_real,
+                              tables.smooth, n_bounces)
     grid = (n // block,)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
@@ -860,8 +956,8 @@ DIM_PIXEL = 0    # sensor jitter dim (mirrors integrator/common.py)
 
 def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                            families: tuple, rr_depth: int, max_depth: int,
-                           m_real: int, et_real: int, spp: int,
-                           iter_cap: int):
+                           m_real: int, et_real: int, smooth: bool,
+                           spp: int, iter_cap: int):
     """consts layout: [0:9] scene consts (as the other kernels), then the
     in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
     cam position, [21] tan_half, [22] aspect, [23] width, [24] height."""
@@ -870,8 +966,10 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         cam = tuple(consts_ref[9 + i] for i in range(16))
-        woop = woop_ref[:]
-        attr_tab = attr_ref[:]
+        woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
+            else woop_ref
+        attr_h = attr_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
+            else attr_ref
         pixel = pix_ref[:]                    # [S, B] int32: lane's pixel
         samp0 = samp_ref[:]                   # [S, B] int32: sample base
         seed = meta_ref[0]
@@ -909,8 +1007,8 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
             samp = samp0 + done.astype(jnp.int32)
             new16, n_tr, n_sh = _bounce_rows(
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
-                et_real, woop, attr_tab, mat_ref, em_ref, consts, pixel,
-                samp, seed, bounce, rows[:16])
+                et_real, smooth, woop_h, attr_h, mat_ref, em_ref,
+                consts, pixel, samp, seed, bounce, rows[:16])
             was_active = rows[12] > 0.5
             now_active = new16[12] > 0.5
             died = was_active & ~now_active
@@ -988,7 +1086,8 @@ def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
     kernel = make_persistent_kernel(tables.tc, c_clusters,
                                     tables.em_count, families, rr_depth,
                                     max_depth, tables.m_real,
-                                    tables.et_real, spp, cap)
+                                    tables.et_real, tables.smooth,
+                                    spp, cap)
     grid = (n // b,)
     col3 = pl.BlockSpec((N_PSTATE, s, b), lambda r: (0, 0, r),
                         memory_space=pltpu.VMEM)

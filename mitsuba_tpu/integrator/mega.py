@@ -2,9 +2,10 @@
 
 Drop-in replacement for PathTracer on scenes that fit the megakernel's
 VMEM budget and feature subset (single area emitter + optional constant
-env, flat shading normals, diffuse/conductor/roughconductor, no textures,
-no medium). Construct with `MegaPathTracer.for_scene(scene, ...)` — the
-scene tables are packed host-side once and close over the jit.
+env, smooth or flat shading normals, diffuse/conductor/roughconductor,
+no textures, no medium). Construct with `MegaPathTracer.for_scene(scene,
+...)` — the scene tables are packed host-side once and close over the
+jit.
 
 Estimator and RNG streams are identical to PathTracer; tests assert
 lane-level agreement.

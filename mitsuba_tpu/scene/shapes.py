@@ -316,3 +316,78 @@ class DeformableMesh:
         v = (1.0 - alpha) * frames[i] + alpha * frames[i + 1]
         return Mesh(vertices=v, faces=np.asarray(self.faces),
                     uvs=self.uvs)
+
+
+def _subdivide(v, f, n, uv, levels: int):
+    """Loop-free 1:4 midpoint subdivision (positions/normals/uvs lerped)."""
+    for _ in range(levels):
+        edges = {}
+        v = list(map(np.asarray, v))
+        n = list(map(np.asarray, n))
+        uv = list(map(np.asarray, uv))
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                edges[key] = len(v)
+                v.append(0.5 * (v[a] + v[b]))
+                nm = n[a] + n[b]
+                n.append(nm / max(np.linalg.norm(nm), 1e-12))
+                uv.append(0.5 * (uv[a] + uv[b]))
+            return edges[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v, f = np.asarray(v), np.asarray(nf)
+        n, uv = np.asarray(n), np.asarray(uv)
+    return v, f, n, uv
+
+
+def shellmap_heightfield(base: Mesh, heights: np.ndarray,
+                         scale: float = 1.0, offset: float = 0.0,
+                         subdiv: int = 3) -> Mesh:
+    """Heightfield detail mapped over a base mesh through its shell —
+    the shape-side counterpart of the fork's shellmap heightfields
+    (ref: src/shapes/shellmap_heightfield.cpp; the tetrahedral VOLUME
+    shell mapping lives in media/shellmap.py).
+
+    The reference intersects rays against heightfield tiles warped through
+    base-mesh prisms at trace time; in the compile-to-triangles
+    architecture the same surface is produced by subdividing the base and
+    displacing each vertex along its interpolated shell direction
+    (shading normal) by the bilinear heightfield sample at its UV:
+
+        p'(u, v) = p(u, v) + (offset + scale·h(u, v)) · n̂(u, v)
+
+    base must carry per-vertex normals and UVs. heights: [H, W] in [0,1]
+    texture space (row 0 = v 0)."""
+    assert base.normals is not None and base.uvs is not None, \
+        "shellmap_heightfield needs a base mesh with normals and UVs"
+    hts = np.asarray(heights, np.float64)
+    hh, ww = hts.shape
+    v, f, n, uv = _subdivide(base.vertices, base.faces, base.normals,
+                             base.uvs, subdiv)
+    # bilinear heightfield sample at each vertex UV (clamped)
+    fu = np.clip(uv[:, 0], 0.0, 1.0) * (ww - 1)
+    fv = np.clip(uv[:, 1], 0.0, 1.0) * (hh - 1)
+    x0 = np.clip(fu.astype(int), 0, ww - 1)
+    y0 = np.clip(fv.astype(int), 0, hh - 1)
+    x1, y1 = np.minimum(x0 + 1, ww - 1), np.minimum(y0 + 1, hh - 1)
+    tx, ty = fu - x0, fv - y0
+    h = ((1 - ty) * ((1 - tx) * hts[y0, x0] + tx * hts[y0, x1])
+         + ty * ((1 - tx) * hts[y1, x0] + tx * hts[y1, x1]))
+    disp = (offset + scale * h)[:, None] * n
+    v2 = v + disp
+    # recompute shading normals from the displaced surface (area-weighted
+    # face normals accumulated per vertex, as trimesh.cpp SN generation)
+    e1 = v2[f[:, 1]] - v2[f[:, 0]]
+    e2 = v2[f[:, 2]] - v2[f[:, 0]]
+    fn = np.cross(e1, e2)
+    vn = np.zeros_like(v2)
+    for k in range(3):
+        np.add.at(vn, f[:, k], fn)
+    lens = np.linalg.norm(vn, axis=-1, keepdims=True)
+    vn = np.where(lens > 1e-12, vn / np.maximum(lens, 1e-12), n)
+    return Mesh(v2, f, vn, uv)

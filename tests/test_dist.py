@@ -19,7 +19,10 @@ def setup():
     scene = compile_scene(cornell_box(), cluster_size=128)
     cam = cornell_camera(width=32, height=32)
     film = Film(width=32, height=32, filter_name="box")
-    integ = PathTracer(max_depth=3, cluster_size=128)
+    # specialized_for: without it the traced graph carries every material
+    # family and the grad test compiles for tens of minutes on CPU
+    integ = PathTracer(max_depth=3,
+                       cluster_size=128).specialized_for(scene)
     return scene, cam, film, integ
 
 

@@ -64,3 +64,38 @@ def test_persistent_matches_mega():
     # counters: between 2 (first closest+shadow) and 2·spp·max_depth
     per_path = int(n_rays) / (64 * 64 * 32)
     assert 2.0 <= per_path <= 16.0, per_path
+
+
+def test_mega_smooth_shading_sphere():
+    """Interpolated vertex normals in the fused kernel: a tessellated
+    sphere in the Cornell box must match the XLA wavefront PathTracer
+    (which interpolates ns in dense.fill_intersection)."""
+    import jax.numpy as jnp
+    import mitsuba_tpu.core.transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene.builder import compile_scene
+    from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
+    from mitsuba_tpu.scene.shapes import sphere
+
+    desc = cornell_box()
+    white = 0
+    t = tfm.translate([0.5, 0.3, 0.5]) @ tfm.scale([0.22, 0.22, 0.22])
+    desc.add_shape(sphere(subdiv_theta=10, subdiv_phi=20), to_world=t,
+                   material=white)
+    scene = compile_scene(desc, cluster_size=64)
+    cam = cornell_camera(64, 64)
+    n = 64 * 64
+    px = jnp.arange(n, dtype=jnp.uint32)
+    pos = jnp.stack([(px % 64).astype(jnp.float32) + 0.5,
+                     (px // 64).astype(jnp.float32) + 0.5], -1)
+    o, d = cam.sample_ray(pos)
+    ref = PathTracer(max_depth=6, cluster_size=64).specialized_for(scene)
+    mega = MegaPathTracer.for_scene(scene, max_depth=6)
+    L_ref = np.asarray(jax.jit(
+        lambda: ref.li(scene, o, d, jnp.uint32(5), px, 0))())
+    L_m = np.asarray(jax.jit(
+        lambda: mega.li(scene, o, d, jnp.uint32(5), px, 0))())
+    rel = np.abs(L_ref - L_m) / np.maximum(L_ref, 1e-3)
+    assert (rel > 1e-2).mean() < 0.02, (rel > 1e-2).mean()
+    assert abs(L_ref.mean() - L_m.mean()) / L_ref.mean() < 5e-3

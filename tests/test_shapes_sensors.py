@@ -105,3 +105,35 @@ def test_rdist_reduces_to_perspective_when_zero():
     d2 = np.asarray(c2.sample_ray(pos)[1])
     assert d2[0, 2] > d0[0, 2] - 1e-7   # corner ray closer to the axis
     assert np.allclose(d2[1], d0[1], atol=1e-6)  # center unchanged
+
+
+def test_shellmap_heightfield_flat():
+    """Constant heightfield over a flat base = translated plane with +z
+    normals (ref: src/shapes/shellmap_heightfield.cpp semantics)."""
+    from mitsuba_tpu.scene.shapes import rectangle, shellmap_heightfield
+    base = rectangle()
+    m = shellmap_heightfield(base, np.full((4, 4), 0.5), scale=2.0,
+                             offset=0.1, subdiv=2)
+    assert np.allclose(m.vertices[:, 2], 1.1, atol=1e-12)
+    assert np.allclose(m.normals, [0, 0, 1], atol=1e-9)
+    # 1:4 subdivision twice: 2 tris -> 32
+    assert len(m.faces) == 32
+    # area preserved for a pure translation
+    e1 = m.vertices[m.faces[:, 1]] - m.vertices[m.faces[:, 0]]
+    e2 = m.vertices[m.faces[:, 2]] - m.vertices[m.faces[:, 0]]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum()
+    assert abs(area - 4.0) < 1e-9
+
+
+def test_shellmap_heightfield_bump_renders():
+    """A bumped shell surface renders without NaNs and displaces along
+    the base normal field (sphere base -> radius grows by h)."""
+    from mitsuba_tpu.scene.shapes import shellmap_heightfield, sphere
+    base = sphere(subdiv_theta=12, subdiv_phi=24)
+    hts = 0.25 * (1.0 + np.sin(np.linspace(0, 6 * np.pi, 16))[None, :]
+                  * np.ones((8, 1)))
+    m = shellmap_heightfield(base, hts, scale=0.4, subdiv=1)
+    r = np.linalg.norm(m.vertices, axis=-1)
+    # midpoint subdivision puts chord midpoints slightly inside the sphere
+    assert r.min() >= 0.99 and r.max() <= 1.6 + 1e-6
+    assert np.isfinite(m.normals).all()
