@@ -49,8 +49,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.scene import (MAT_CONDUCTOR, MAT_DIFFUSE, MAT_ROUGH_CONDUCTOR,
-                           SceneData)
+from ..scene.scene import (EM_AREA, EM_CONSTANT, MAT_CONDUCTOR,
+                           MAT_DIFFUSE, MAT_ROUGH_CONDUCTOR, SceneData)
 
 _U32 = jnp.uint32
 _MISS = 1e30
@@ -66,9 +66,12 @@ SENSOR_DIMS = 4
 DIMS_PER_BOUNCE = 8
 DIM_NEE_SEL, DIM_NEE_POS, DIM_BSDF_U2, DIM_BSDF_U1, DIM_RR = 0, 1, 2, 3, 4
 
-N_ATTR = 16           # slim per-triangle attrs: ng xyz (0:3), mat_id (3),
+N_ATTR = 24           # slim per-triangle attrs: ng xyz (0:3), mat_id (3),
                       # em_id (4), vn0 xyz (5:8), vn1-vn0 (8:11),
-                      # vn2-vn0 (11:14), pad (14:16)
+                      # vn2-vn0 (11:14), emitter radiance rgb (14:17),
+                      # emitter area (17), emitter pmf (18), pad (19:24)
+
+ENV_DIST = 1e30       # env "distance" sentinel (emitter.py ENV_DIST)
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +150,8 @@ class MegaTables:
     woop: jnp.ndarray        # [C, 3*tc, 4] VMEM
     attr: jnp.ndarray        # [C, tc, N_ATTR] slim attrs (cluster-major)
     mat: jnp.ndarray         # [16, M_pad] mat_params transposed, SMEM
-    em_rows: jnp.ndarray     # [ET_pad, 16]: p0|e1|e2|ng|cdfg|area|pmf|emid
+    em_rows: jnp.ndarray     # [ET_pad, 24]: p0|e1|e2|ng|cdfg|area|pmf|emid|rad
+    em_meta: jnp.ndarray     # [E_pad, 8]: cdf_lo|pmf|type|rad rgb|area, SMEM
     em_count: int
     n_tris: int
     tc: int
@@ -197,6 +201,19 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
     attr_p[:n_a, 8:11] = attr[:n_a, 6:9] - attr[:n_a, 3:6]    # vn1-vn0
     attr_p[:n_a, 11:14] = attr[:n_a, 9:12] - attr[:n_a, 3:6]  # vn2-vn0
     attr_p[n_a:, 4] = -1.0    # padding tris: em_id = -1
+    # per-tri owning-emitter data for the hit-side MIS weight
+    tri_em = attr[:n_a, 19].astype(int)
+    emissive = tri_em >= 0
+    eid = np.clip(tri_em, 0, max(scene.n_emitters - 1, 0))
+    if scene.n_emitters:
+        rad_all = np.asarray(scene.em_radiance)
+        area_all = np.asarray(scene.em_area)
+        pmf_all = np.asarray(scene.em_pmf.pmf)
+        attr_p[:n_a, 14:17] = np.where(emissive[:, None], rad_all[eid], 0)
+        attr_p[:n_a, 17] = np.where(emissive, area_all[eid], 1.0)
+        attr_p[:n_a, 18] = np.where(emissive, pmf_all[eid], 0.0)
+    else:
+        attr_p[:n_a, 17] = 1.0
     attr_p = attr_p.reshape(c_clusters, tc, N_ATTR)
 
     mat = np.asarray(scene.mat_params)
@@ -209,7 +226,7 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
     em_tris = np.asarray(scene.em_tris)
     et = len(em_tris)
     et_pad = max(8, -(-max(et, 1) // 8) * 8)
-    rows = np.zeros((et_pad, 16), np.float32)
+    rows = np.zeros((et_pad, 24), np.float32)
     if et:
         rows[:et, 0:12] = np.asarray(scene.em_tri_data)[:et]
         rows[:et, 12] = np.asarray(scene.em_tri_cdfg)
@@ -218,14 +235,29 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         rows[:et, 13] = np.asarray(scene.em_area)[em_of]
         rows[:et, 14] = np.asarray(scene.em_pmf.pmf)[em_of]
         rows[:et, 15] = em_of.astype(np.float32)
+        rows[:et, 16:19] = np.asarray(scene.em_radiance)[em_of]
         rows[et:, 12] = 1e9              # cdf sentinel: never selected
     else:
         rows[:, 12] = 1e9
+
+    # per-emitter pick metadata (SMEM select chains in the kernel)
+    n_em = int(scene.n_emitters)
+    e_pad = max(8, -(-max(n_em, 1) // 8) * 8)
+    meta = np.zeros((e_pad, 8), np.float32)
+    if n_em:
+        pmf_all = np.asarray(scene.em_pmf.pmf)[:n_em]
+        meta[:n_em, 0] = np.cumsum(pmf_all) - pmf_all    # cdf_lo
+        meta[:n_em, 1] = pmf_all
+        meta[:n_em, 2] = np.asarray(scene.em_type)[:n_em]
+        meta[:n_em, 3:6] = np.asarray(scene.em_radiance)[:n_em]
+        meta[:n_em, 6] = np.asarray(scene.em_area)[:n_em]
+        meta[n_em:, 0] = 2e9             # never selected by the chain
     return MegaTables(
         woop=jnp.asarray(woop_cl),
         attr=jnp.asarray(attr_p),
         mat=jnp.asarray(mat_p),
         em_rows=jnp.asarray(rows),
+        em_meta=jnp.asarray(meta),
         em_count=int(scene.n_emitters),
         n_tris=n_real,
         tc=tc,
@@ -364,8 +396,9 @@ def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
 # ---------------------------------------------------------------------------
 
 def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
-                 m_real, et_real, smooth, woop_ref, attr_ref, mat_sm,
-                 em_sm, consts, pixel, samp, seed, bounce, rows):
+                 m_real, et_real, n_em, smooth, woop_ref, attr_ref,
+                 mat_sm, em_sm, em_meta, consts, pixel, samp, seed,
+                 bounce, rows):
     """One path-tracer bounce over [S, B] shading blocks.
 
     rows: tuple of 16 [S, B] f32 blocks (o xyz, d xyz, throughput rgb,
@@ -423,10 +456,8 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
 
     # ---- emission on hit + env on escape ------------------------------
     cos_surf = -(dx * ngx + dy * ngy + dz * ngz)
-    # single-area-emitter specialization: its radiance + pmf/area are
-    # scalars in the meta row (multi-emitter scenes use the XLA path)
-    (le_r, le_g, le_b, env_r, env_g, env_b, env_pmf, em_area_tot,
-     em_pmf_area) = consts[:9]
+    # consts: constant-env radiance + its pick pmf (0 when no env)
+    (env_r, env_g, env_b, env_pmf) = consts[:4]
 
     escaped = active & (t_best >= _MISS)
     inv4pi = jnp.float32(1.0 / (4.0 * np.pi))
@@ -437,17 +468,20 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     lg = lg + tpg * env_g * esc
     lb = lb + tpb * env_b * esc
 
+    # emitter hit: radiance + NEE pdf of the HIT triangle's emitter come
+    # from the slim attr rows (multi-area support; eval_area/
+    # pdf_direct_area semantics, area.cpp:158-173 one-sided)
     is_emitter = hit & (em_id >= 0.0) & (cos_surf > 0.0)
     dist2 = t_best * t_best
     pdf_hit = jnp.where(
         cos_surf > 1e-6,
-        dist2 / jnp.maximum(cos_surf * em_area_tot, 1e-12)
-        * em_pmf_area, 0.0)
+        dist2 / jnp.maximum(cos_surf * gather(17), 1e-12)
+        * gather(18), 0.0)
     mis_hit = jnp.where(prev_delta, 1.0, _mis(prev_pdf, pdf_hit))
     hi = is_emitter.astype(jnp.float32) * mis_hit
-    lr = lr + tpr * le_r * hi
-    lg = lg + tpg * le_g * hi
-    lb = lb + tpb * le_b * hi
+    lr = lr + tpr * gather(14) * hi
+    lg = lg + tpg * gather(15) * hi
+    lb = lb + tpb * gather(16) * hi
 
     if isinstance(bounce, jnp.ndarray) and bounce.ndim:
         depth = bounce.astype(jnp.float32) + 2.0  # path vertices
@@ -472,10 +506,25 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # ---- NEE ------------------------------------------------------------
     u_sel, _ = _rng2(seed, pixel, dim_base + DIM_NEE_SEL, samp)
     up0, up1 = _rng2(seed, pixel, dim_base + DIM_NEE_POS, samp)
-    # emitter pick: single area emitter; triangle pick via cdf compare
-    u_re = jnp.clip(u_sel / jnp.maximum(em_pmf_area, 1e-9), 0.0,
-                    1.0 - 1e-7)
-    key = u_re                            # emitter 0 segment
+    # emitter pick ∝ pmf via the SMEM meta chain (DiscreteDistribution
+    # sample_reuse, scene.cpp:832), then triangle within the picked area
+    # emitter via the globalized per-tri cdf (values in (e, e+1])
+    e_k = jnp.zeros_like(u_sel)
+    for e in range(1, n_em):
+        e_k = e_k + (em_meta[e, 0] <= u_sel).astype(jnp.float32)
+
+    def em_pick(j):
+        p = jnp.full_like(u_sel, em_meta[0, j])
+        for e in range(1, n_em):
+            p = jnp.where(e_k == float(e), em_meta[e, j], p)
+        return p
+
+    cdf_lo_k = em_pick(0)
+    pmf_k = em_pick(1)
+    u_re = jnp.clip((u_sel - cdf_lo_k) / jnp.maximum(pmf_k, 1e-20),
+                    0.0, 1.0 - 1e-7)
+    is_env_sel = em_pick(2) == float(EM_CONSTANT)
+    key = e_k + u_re
     cnt = jnp.zeros_like(key)
     for e in range(et_real):
         cnt = cnt + (em_sm[e, 12] <= key).astype(jnp.float32)
@@ -496,13 +545,27 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     nlx, nly, nlz = em_val(9), em_val(10), em_val(11)
     tlx, tly, tlz = plx - px_, ply - py_, plz - pz_
     ld2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-12)
-    ldist = jnp.sqrt(ld2)
-    ldx, ldy, ldz = tlx / ldist, tly / ldist, tlz / ldist
-    cos_l = -(ldx * nlx + ldy * nly + ldz * nlz)
-    pdf_nee = jnp.where(
+    ldist_a = jnp.sqrt(ld2)
+    lax_, lay, laz = tlx / ldist_a, tly / ldist_a, tlz / ldist_a
+    cos_l = -(lax_ * nlx + lay * nly + laz * nlz)
+    pdf_area = jnp.where(
         cos_l > 1e-6,
-        ld2 / jnp.maximum(cos_l * em_area_tot, 1e-12) * em_pmf_area,
+        ld2 / jnp.maximum(cos_l * em_val(13), 1e-12) * em_val(14),
         0.0)
+
+    # constant-env pick: uniform sphere direction from the same u2
+    # (warp.h:43 square_to_uniform_sphere; emitter.py sample_direct)
+    ez = 1.0 - 2.0 * up0
+    er = jnp.sqrt(jnp.maximum(1.0 - ez * ez, 0.0))
+    eph = 2.0 * np.pi * up1
+    ldx = jnp.where(is_env_sel, er * jnp.cos(eph), lax_)
+    ldy = jnp.where(is_env_sel, er * jnp.sin(eph), lay)
+    ldz = jnp.where(is_env_sel, ez, laz)
+    ldist = jnp.where(is_env_sel, ENV_DIST, ldist_a)
+    pdf_nee = jnp.where(is_env_sel, pmf_k * inv4pi, pdf_area)
+    le_nee_r = jnp.where(is_env_sel, em_pick(3), em_val(16))
+    le_nee_g = jnp.where(is_env_sel, em_pick(4), em_val(17))
+    le_nee_b = jnp.where(is_env_sel, em_pick(5), em_val(18))
 
     # shadow ray (offset along geometric normal)
     sgn = jnp.where(ldx * ngx + ldy * ngy + ldz * ngz >= 0.0, 1.0, -1.0)
@@ -540,9 +603,9 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
         hit & (depth + 1.0 <= float(max_depth) + 1.0)
     contrib = (nee_ok & lit & (pdf_nee > 0.0)).astype(jnp.float32) \
         * mis_nee / jnp.maximum(pdf_nee, 1e-12)
-    lr = lr + tpr * le_r * f_r * contrib
-    lg = lg + tpg * le_g * f_g * contrib
-    lb = lb + tpb * le_b * f_b * contrib
+    lr = lr + tpr * le_nee_r * f_r * contrib
+    lg = lg + tpg * le_nee_g * f_g * contrib
+    lb = lb + tpb * le_nee_b * f_b * contrib
 
     # ---- BSDF sample ----------------------------------------------------
     ub0, ub1 = _rng2(seed, pixel, dim_base + DIM_BSDF_U2, samp)
@@ -606,8 +669,8 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
     """Single-bounce kernel (one pallas_call per bounce; kept for
     incremental/debug use — run_path/run_persistent are the fast paths)."""
 
-    def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
-               meta_ref, consts_ref, st_in_ref, st_out_ref):
+    def kernel(woop_ref, attr_ref, mat_ref, em_ref, em_meta_ref, pix_ref,
+               samp_ref, meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
             else woop_ref
@@ -615,9 +678,9 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
             else attr_ref
         new_rows, s_tr, s_sh = _bounce_rows(
             tc, c_clusters, families, rr_depth, max_depth, m_real,
-            et_real, smooth, woop_h, attr_h, mat_ref, em_ref,
-            consts, pix_ref[:], samp_ref[:], meta_ref[0], meta_ref[2],
-            _state_to_rows(st_in_ref[:]))
+            et_real, em_count, smooth, woop_h, attr_h, mat_ref, em_ref,
+            em_meta_ref, consts, pix_ref[:], samp_ref[:], meta_ref[0],
+            meta_ref[2], _state_to_rows(st_in_ref[:]))
         st_out_ref[:] = jnp.concatenate(list(new_rows) + [s_tr, s_sh],
                                         axis=0)
 
@@ -633,8 +696,8 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
     zero inter-bounce HBM traffic, one dispatch per render pass — and the
     loop exits early once every lane in the block is dead."""
 
-    def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
-               meta_ref, consts_ref, st_in_ref, st_out_ref):
+    def kernel(woop_ref, attr_ref, mat_ref, em_ref, em_meta_ref, pix_ref,
+               samp_ref, meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
             else woop_ref
@@ -656,8 +719,9 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
             i, st, s0, s1 = carry
             new_rows, t0, t1 = _bounce_rows(
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
-                et_real, smooth, woop_h, attr_h, mat_ref, em_ref,
-                consts, pixel, samp, seed, i, _state_to_rows(st))
+                et_real, em_count, smooth, woop_h, attr_h, mat_ref,
+                em_ref, em_meta_ref, consts, pixel, samp, seed, i,
+                _state_to_rows(st))
             return i + 1, jnp.concatenate(new_rows, axis=0), s0 + t0, \
                 s1 + t1
 
@@ -682,6 +746,7 @@ def _table_specs(tables: MegaTables):
         full(tables.attr.shape),
         pl.BlockSpec(memory_space=pltpu.SMEM),    # mat
         pl.BlockSpec(memory_space=pltpu.SMEM),    # em rows
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # em meta
     ]
 
 
@@ -719,7 +784,8 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
         out_specs=col(N_OUT),
         out_shape=jax.ShapeDtypeStruct((N_OUT, n), jnp.float32),
     )(tables.woop, tables.attr, tables.mat, tables.em_rows,
-      pixel, samp, meta_u32, jnp.asarray(meta_consts, jnp.float32), state)
+      tables.em_meta, pixel, samp, meta_u32,
+      jnp.asarray(meta_consts, jnp.float32), state)
     return out
 
 
@@ -754,7 +820,8 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
         out_specs=col(N_OUT),
         out_shape=jax.ShapeDtypeStruct((N_OUT, n), jnp.float32),
     )(tables.woop, tables.attr, tables.mat, tables.em_rows,
-      pixel, samp, meta_u32, jnp.asarray(meta_consts, jnp.float32), state)
+      tables.em_meta, pixel, samp, meta_u32,
+      jnp.asarray(meta_consts, jnp.float32), state)
     return out
 
 
@@ -962,8 +1029,8 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
     in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
     cam position, [21] tan_half, [22] aspect, [23] width, [24] height."""
 
-    def kernel(woop_ref, attr_ref, mat_ref, em_ref, pix_ref, samp_ref,
-               meta_ref, consts_ref, st_in_ref, st_out_ref):
+    def kernel(woop_ref, attr_ref, mat_ref, em_ref, em_meta_ref, pix_ref,
+               samp_ref, meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         cam = tuple(consts_ref[9 + i] for i in range(16))
         woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
@@ -1007,8 +1074,9 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
             samp = samp0 + done.astype(jnp.int32)
             new16, n_tr, n_sh = _bounce_rows(
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
-                et_real, smooth, woop_h, attr_h, mat_ref, em_ref,
-                consts, pixel, samp, seed, bounce, rows[:16])
+                et_real, em_count, smooth, woop_h, attr_h, mat_ref,
+                em_ref, em_meta_ref, consts, pixel, samp, seed, bounce,
+                rows[:16])
             was_active = rows[12] > 0.5
             now_active = new16[12] > 0.5
             died = was_active & ~now_active
@@ -1105,5 +1173,6 @@ def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
         out_specs=col3,
         out_shape=jax.ShapeDtypeStruct((N_PSTATE, s, n), jnp.float32),
     )(tables.woop, tables.attr, tables.mat, tables.em_rows,
-      pixel, samp0, meta_u32, jnp.asarray(consts_cam, jnp.float32), state)
+      tables.em_meta, pixel, samp0, meta_u32,
+      jnp.asarray(consts_cam, jnp.float32), state)
     return out

@@ -16,7 +16,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="mitsuba_tpu",
         description="TPU-native path tracer (Mitsuba-compatible subset)")
-    ap.add_argument("scene", help="scene .xml file")
+    ap.add_argument("scene", nargs="+", help="scene .xml file(s); "
+                    "several render back to back (mitsuba.cpp -j)")
     ap.add_argument("-o", "--output", default=None,
                     help="output image (exr/pfm/png/npy); default: "
                          "scene name + .exr")
@@ -31,9 +32,22 @@ def main(argv=None) -> int:
                          "(progressive passes)")
     ap.add_argument("-p", "--devices", type=int, default=0,
                     help="shard across first N devices (0 = single)")
+    ap.add_argument("-x", "--skip-existing", action="store_true",
+                    help="skip scenes whose output already exists "
+                         "(mitsuba.cpp:78 -x)")
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.output is not None and len(args.scene) > 1:
+        ap.error("-o is only valid with a single scene")
+    rc = 0
+    for scene_path in args.scene:
+        rc = max(rc, _render_one(args, scene_path))
+    return rc
+
+
+def _render_one(args, scene_path: str) -> int:
+    import os
 
     import numpy as np
 
@@ -49,8 +63,12 @@ def main(argv=None) -> int:
         params[k] = v
 
     t0 = time.time()
-    log.info("Loading scene %s", args.scene)
-    loaded = load_xml(args.scene, parameters=params)
+    out = args.output or (scene_path.rsplit(".", 1)[0] + ".exr")
+    if args.skip_existing and os.path.exists(out):
+        log.info("Skipping %s: %s exists (-x)", scene_path, out)
+        return 0
+    log.info("Loading scene %s", scene_path)
+    loaded = load_xml(scene_path, parameters=params)
     if args.max_depth is not None:
         loaded.integrator_config["max_depth"] = args.max_depth
     spp = args.spp if args.spp is not None else loaded.spp
@@ -64,8 +82,6 @@ def main(argv=None) -> int:
     log.info("Scene compiled: %d triangles, %d emitters (%.2fs)",
              int((np.asarray(scene.tri_area) > 0).sum()),
              scene.n_emitters, time.time() - t0)
-
-    out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
 
     # integrators with their own outer loop (PSSMLT chains, adaptive
     # sample control) render through the uniform render_full entry

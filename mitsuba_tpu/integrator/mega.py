@@ -42,29 +42,19 @@ class MegaPathTracer(PathTracer):
         em_types = np.asarray(scene.em_type)
         n_area = int((em_types == EM_AREA).sum())
         n_const = int((em_types == EM_CONSTANT).sum())
-        assert n_area <= 1 and n_area + n_const == len(em_types), (
-            "megakernel supports one area emitter + optional constant env; "
-            "use PathTracer for this scene")
-        le = np.zeros(3)
+        assert n_const <= 1 and n_area + n_const == len(em_types), (
+            "megakernel supports area emitters + optional constant env; "
+            "use PathTracer for point/spot/directional/envmap scenes")
         env = np.zeros(3)
         env_pmf = 0.0
-        em_area_tot = 1.0
-        em_pmf_area = 0.0
         for i, t in enumerate(em_types):
-            rad = np.asarray(scene.em_radiance)[i]
-            pmf = float(np.asarray(scene.em_pmf.pmf)[i])
-            if t == EM_AREA:
-                le = rad
-                em_area_tot = float(np.asarray(scene.em_area)[i])
-                em_pmf_area = pmf
-            else:
-                env = rad
-                env_pmf = pmf
+            if t == EM_CONSTANT:
+                env = np.asarray(scene.em_radiance)[i]
+                env_pmf = float(np.asarray(scene.em_pmf.pmf)[i])
         fams = tuple(sorted(int(x) for x in
                             np.unique(np.asarray(scene.mat_type))))
-        consts = (float(le[0]), float(le[1]), float(le[2]),
-                  float(env[0]), float(env[1]), float(env[2]),
-                  float(env_pmf), float(em_area_tot), float(em_pmf_area),
+        consts = (float(env[0]), float(env[1]), float(env[2]),
+                  float(env_pmf), 0.0, 0.0, 0.0, 0.0, 0.0,
                   0.0, 0.0, 0.0)
         return MegaPathTracer(
             max_depth=max_depth, rr_depth=rr_depth, families=fams,
