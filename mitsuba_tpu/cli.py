@@ -131,6 +131,9 @@ def _render_one(args, scene_path: str) -> int:
             last_flush = time.time()
     render_s = time.time() - t1
     final = accum_img / done
+    if loaded.film.banner:
+        from .io.image import stamp_banner
+        final = stamp_banner(final)
     if out.lower().endswith(".exr"):
         # embed render metadata like the reference (renderjob.cpp:109)
         from .io.image import write_exr

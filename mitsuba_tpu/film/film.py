@@ -23,6 +23,8 @@ class Film:
     width: int = 256
     height: int = 256
     filter_name: str = "box"
+    banner: bool = False    # stamp the corner banner at develop time
+                            # (ref: hdrfilm.cpp "banner" property)
 
     @property
     def ftype(self):

@@ -170,6 +170,46 @@ def write_png(path: str, img: np.ndarray, gamma: bool = True):
     Image.fromarray(x).save(path)
 
 
+# tiny 3x5 glyphs for the hdrfilm/ldrfilm banner overlay
+# (ref: hdrfilm.cpp "banner" property — the reference stamps a small
+# "rendered with Mitsuba" logo; here a text watermark)
+_GLYPHS = {
+    "M": ["101", "111", "101", "101", "101"],
+    "I": ["111", "010", "010", "010", "111"],
+    "T": ["111", "010", "010", "010", "010"],
+    "S": ["111", "100", "111", "001", "111"],
+    "U": ["101", "101", "101", "101", "111"],
+    "B": ["110", "101", "110", "101", "110"],
+    "A": ["010", "101", "111", "101", "101"],
+    "-": ["000", "000", "111", "000", "000"],
+    "P": ["110", "101", "110", "100", "100"],
+    " ": ["000", "000", "000", "000", "000"],
+}
+
+
+def stamp_banner(img: np.ndarray, text: str = "MITSUBA-TPU",
+                 intensity: float = 0.8) -> np.ndarray:
+    """Stamp a small text banner into the bottom-left corner (the
+    reference's hdrfilm `banner` attribute, hdrfilm.cpp). Returns a
+    copy; no-op if the image is too small."""
+    img = np.array(img, np.float32, copy=True)
+    h, w = img.shape[:2]
+    x0, y0 = 2, h - 7
+    if y0 < 0 or w < 4 * len(text) + 4:
+        return img
+    for ch in text.upper():
+        g = _GLYPHS.get(ch)
+        if g is None:
+            x0 += 4
+            continue
+        for r, row in enumerate(g):
+            for c, bit in enumerate(row):
+                if bit == "1":
+                    img[y0 + r, x0 + c] = intensity
+        x0 += 4
+    return img
+
+
 def write_npy(path: str, img: np.ndarray):
     """NumPy output (ref: mfilm.cpp .npy via vendored cnpy)."""
     np.save(path, np.asarray(img, np.float32))

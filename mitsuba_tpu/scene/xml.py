@@ -525,7 +525,9 @@ def load_xml(path: str, parameters: dict | None = None,
                             "catmullrom": "catmullrom",
                             "lanczos": "lanczos"}.get(
                                 rf.get("type", "box"), "box")
-            film = Film(width=w, height=h, filter_name=filt)
+            film = Film(width=w, height=h, filter_name=filt,
+                        banner=str(fp.get("banner", "false")).lower()
+                        in ("true", "1") if f_el is not None else False)
             if stype in ("perspective", "thinlens"):
                 camera = PerspectiveCamera(
                     width=w, height=h, fov_x=float(p.get("fov", 39.0)),

@@ -38,3 +38,16 @@ def test_exr_annotations_roundtrip(tmp_path):
     assert abs(meta["renderTime"] - 12.5) < 1e-6
     assert meta["spp"] == 64
     assert meta["generatedBy"] == "mitsuba_tpu"
+
+
+def test_banner_stamp():
+    """hdrfilm banner overlay (ref: hdrfilm.cpp banner property)."""
+    from mitsuba_tpu.io.image import stamp_banner
+    img = np.zeros((32, 64, 3), np.float32)
+    out = stamp_banner(img)
+    assert out.shape == img.shape
+    assert out.max() > 0.5           # glyphs stamped
+    assert img.max() == 0.0          # input untouched
+    assert out[:20].max() == 0.0     # only the bottom rows
+    tiny = np.zeros((4, 8, 3), np.float32)
+    assert stamp_banner(tiny).max() == 0.0   # too small: no-op
