@@ -34,11 +34,13 @@ class MegaPathTracer(PathTracer):
     meta_consts: tuple = ()
     block: int = DEF_BLOCK      # lanes per run_path block ([16, B] rows)
     pblock: int = DEF_PBLOCK    # total lanes (S·B) per persistent block
+    sublanes: int = DEF_SUBLANES  # S rows per persistent shading block
 
     @staticmethod
     def for_scene(scene: SceneData, max_depth: int = 8, rr_depth: int = 5,
                   block: int = DEF_BLOCK,
-                  pblock: int = DEF_PBLOCK) -> "MegaPathTracer":
+                  pblock: int = DEF_PBLOCK,
+                  sublanes: int = DEF_SUBLANES) -> "MegaPathTracer":
         em_types = np.asarray(scene.em_type)
         n_area = int((em_types == EM_AREA).sum())
         n_const = int((em_types == EM_CONSTANT).sum())
@@ -59,7 +61,7 @@ class MegaPathTracer(PathTracer):
         return MegaPathTracer(
             max_depth=max_depth, rr_depth=rr_depth, families=fams,
             tables=build_mega_tables(scene), meta_consts=consts,
-            block=block, pblock=pblock)
+            block=block, pblock=pblock, sublanes=sublanes)
 
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
         return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
@@ -122,13 +124,13 @@ def render_persistent(integ: MegaPathTracer, camera, spp: int,
 
 @functools.partial(jax.jit, static_argnames=("integ", "camera", "spp"))
 def _render_persistent(integ, camera, spp, seed):
-    from ..accel.megakernel import (DEF_SUBLANES, N_PSTATE, run_persistent)
+    from ..accel.megakernel import N_PSTATE, run_persistent
     from ..core import rng as _rng
 
     w, h = camera.width, camera.height
     n = w * h
     block = integ.pblock
-    s = DEF_SUBLANES
+    s = integ.sublanes
     n_pad = -(-n // block) * block      # total lanes
     bb = block // s                     # lanes per sub-block row
     rr = n_pad // block                 # grid steps

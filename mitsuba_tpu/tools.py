@@ -1,10 +1,14 @@
 """Utility launcher — the `mtsutil` analog (ref: src/mitsuba/mtsutil.cpp
-+ src/utils/{tonemap,addimages}.cpp, cmp.cpp image diff).
++ src/utils/{tonemap,addimages}.cpp, cmp.cpp image diff) plus the
+`mtsimport` scene converter (ref: src/converter/collada.cpp, obj →
+scene XML + .serialized geometry).
 
     python -m mitsuba_tpu.tools tonemap in.exr out.png [--exposure E]
     python -m mitsuba_tpu.tools addimages a.exr b.exr out.exr [--weights ...]
     python -m mitsuba_tpu.tools cmp a.exr b.exr [--rtol R]
     python -m mitsuba_tpu.tools info img.exr
+    python -m mitsuba_tpu.tools import scene.dae out.xml [--res WxH]
+    python -m mitsuba_tpu.tools import mesh.obj out.xml
 """
 from __future__ import annotations
 
@@ -74,6 +78,133 @@ def info(args):
     return 0
 
 
+def _xml_esc(s):
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace('"', "&quot;"))
+
+
+def _mat_xml(mid, mat):
+    """MTL/COLLADA material dict -> scene-XML bsdf block (the same
+    Kd/Ks/Ns mapping the OBJ loader applies, ref: obj.cpp addMaterial)."""
+    kd = mat.get("kd", (0.5, 0.5, 0.5))
+    ks = mat.get("ks", (0.0, 0.0, 0.0))
+    ns = float(mat.get("ns", 0.0))
+    kd_s = f"{kd[0]:g} {kd[1]:g} {kd[2]:g}"
+    lines = [f'    <bsdf type="{"phong" if max(ks) > 0 and ns > 1 else "diffuse"}" id="{_xml_esc(mid)}">']
+    if mat.get("map_kd"):
+        lines.append('        <texture type="bitmap" name="reflectance">')
+        lines.append(f'            <string name="filename" '
+                     f'value="{_xml_esc(mat["map_kd"])}"/>')
+        lines.append("        </texture>")
+    else:
+        lines.append(f'        <rgb name="reflectance" value="{kd_s}"/>')
+    if max(ks) > 0 and ns > 1:
+        ks_s = f"{ks[0]:g} {ks[1]:g} {ks[2]:g}"
+        lines.append(f'        <rgb name="specularReflectance" '
+                     f'value="{ks_s}"/>')
+        lines.append(f'        <float name="exponent" value="{ns:g}"/>')
+    lines.append("    </bsdf>")
+    return "\n".join(lines)
+
+
+def import_scene(args):
+    """COLLADA/OBJ → scene XML + .serialized geometry (mtsimport)."""
+    import os
+
+    from .io.serialized import save_serialized
+
+    src = args.input
+    out_xml = args.output
+    out_dir = os.path.dirname(os.path.abspath(out_xml))
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(out_xml))[0]
+    width, height = (int(x) for x in args.res.lower().split("x"))
+
+    mats: dict = {}
+    shapes = []          # (serialized_rel, to_world 4x4 or None, mat_id)
+    cam_xml = None
+
+    low = src.lower()
+    if low.endswith(".dae"):
+        from .io.collada import load_collada
+        dae = load_collada(src)
+        mats = dict(dae.materials)
+        # bake the up-axis change into a root fix-up (converter.cpp
+        # handles Z_UP scenes the same way)
+        if dae.up_axis == "Z_UP":
+            fix = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                            [0, -1, 0, 0], [0, 0, 0, 1]], np.float64)
+        elif dae.up_axis == "X_UP":
+            fix = np.array([[0, 1, 0, 0], [-1, 0, 0, 0],
+                            [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+        else:
+            fix = np.eye(4)
+        for k, inst in enumerate(dae.instances):
+            rel = f"{stem}_{k:03d}.serialized"
+            save_serialized(os.path.join(out_dir, rel), inst.mesh)
+            shapes.append((rel, fix @ inst.to_world, inst.material))
+        if dae.camera is not None:
+            c = dae.camera
+            m = fix @ c.to_world
+            rows = " ".join(f"{v:.9g}" for v in m.reshape(-1))
+            cam_xml = (
+                f'    <sensor type="perspective">\n'
+                f'        <float name="fov" value="{c.xfov:g}"/>\n'
+                f'        <transform name="toWorld">\n'
+                f'            <matrix value="{rows}"/>\n'
+                f'        </transform>\n')
+    elif low.endswith(".obj"):
+        from .io.obj import load_obj
+        groups, mtls = load_obj(src)
+        mats = dict(mtls)
+        for k, g in enumerate(groups):
+            rel = f"{stem}_{k:03d}.serialized"
+            save_serialized(os.path.join(out_dir, rel), g.mesh)
+            shapes.append((rel, None, g.material_name))
+    else:
+        print(f"unsupported input {src} (need .dae or .obj)")
+        return 1
+
+    lines = ['<?xml version="1.0" encoding="utf-8"?>',
+             '<scene version="0.5.0">',
+             '    <integrator type="path"/>']
+    if cam_xml is None:
+        cam_xml = ('    <sensor type="perspective">\n'
+                   '        <float name="fov" value="45"/>\n')
+    lines.append(
+        cam_xml
+        + '        <film type="hdrfilm">\n'
+        + f'            <integer name="width" value="{width}"/>\n'
+        + f'            <integer name="height" value="{height}"/>\n'
+        + '        </film>\n'
+        + '        <sampler type="independent">\n'
+        + f'            <integer name="sampleCount" value='
+          f'"{args.spp}"/>\n'
+        + '        </sampler>\n    </sensor>')
+
+    used = {m for _, _, m in shapes if m}
+    for mid in sorted(used):
+        lines.append(_mat_xml(
+            mid, mats.get(mid, {"kd": (0.5, 0.5, 0.5)})))
+    for rel, to_world, mid in shapes:
+        lines.append('    <shape type="serialized">')
+        lines.append(f'        <string name="filename" '
+                     f'value="{_xml_esc(rel)}"/>')
+        if to_world is not None and not np.allclose(to_world, np.eye(4)):
+            rows = " ".join(f"{v:.9g}" for v in to_world.reshape(-1))
+            lines.append('        <transform name="toWorld">')
+            lines.append(f'            <matrix value="{rows}"/>')
+            lines.append("        </transform>")
+        if mid and mid in used:
+            lines.append(f'        <ref id="{_xml_esc(mid)}"/>')
+        lines.append("    </shape>")
+    lines.append("</scene>")
+    with open(out_xml, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_xml} + {len(shapes)} .serialized meshes")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mitsuba_tpu.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -100,6 +231,14 @@ def main(argv=None) -> int:
     i = sub.add_parser("info", help="image statistics")
     i.add_argument("input")
     i.set_defaults(fn=info)
+
+    imp = sub.add_parser(
+        "import", help="COLLADA/OBJ → scene XML (+.serialized)")
+    imp.add_argument("input")
+    imp.add_argument("output")
+    imp.add_argument("--res", default="512x512")
+    imp.add_argument("--spp", type=int, default=64)
+    imp.set_defaults(fn=import_scene)
 
     args = ap.parse_args(argv)
     return args.fn(args)
