@@ -24,19 +24,30 @@ from ..scene.builder import SceneDesc, compile_scene
 def render_motion(desc_at, camera_at, film: Film, integrator, spp: int,
                   shutter_open: float = 0.0, shutter_close: float = 1.0,
                   n_time: int = 8, seed: int = 0,
-                  cluster_size: int = 512):
+                  cluster_size: int = 512, jitter_time: bool = True):
     """Render with motion blur.
 
     desc_at(t) -> SceneDesc (or a constant SceneDesc for static scenes);
     camera_at(t) -> camera (or a constant camera). Each of the n_t
-    stratified shutter times renders spp//n_t samples (stratum centers —
-    jittering the slice time would change compiled geometry per sample).
-    """
+    stratified shutter strata renders spp//n_t samples. With
+    `jitter_time` (default) each stratum's evaluation time is drawn
+    uniformly inside the stratum from a counter-based stream, so the
+    estimator integrates the CONTINUOUS shutter (unbiased for arbitrary
+    motion — matching the reference's per-ray time sampling,
+    sensor.h shutter semantics) instead of quantizing to stratum
+    centers; geometry shapes are unchanged so the jitted render reuses
+    its compilation across strata."""
+    from ..core import rng as _rng
     spp_slice = max(1, spp // n_time)
     img = None
     for i in range(n_time):
-        t = shutter_open + (i + 0.5) / n_time * (shutter_close
-                                                 - shutter_open)
+        if jitter_time:
+            u = float(np.asarray(_rng.sample_1d(
+                jnp.uint32(seed ^ 0x5EED), jnp.uint32(i), 101, 0)))
+        else:
+            u = 0.5
+        t = shutter_open + (i + u) / n_time * (shutter_close
+                                               - shutter_open)
         desc = desc_at(t) if callable(desc_at) else desc_at
         cam = camera_at(t) if callable(camera_at) else camera_at
         scene = compile_scene(desc, cluster_size)
