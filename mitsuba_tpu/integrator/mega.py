@@ -41,6 +41,15 @@ class MegaPathTracer(PathTracer):
                   block: int = DEF_BLOCK,
                   pblock: int = DEF_PBLOCK,
                   sublanes: int = DEF_SUBLANES) -> "MegaPathTracer":
+        if sublanes <= 0 or sublanes % 8 != 0:
+            raise ValueError(
+                f"sublanes={sublanes}: must be a positive multiple of 8 "
+                "(the TPU f32 sublane tile is 8 rows)")
+        if pblock % sublanes != 0:
+            raise ValueError(
+                f"pblock={pblock} is not divisible by sublanes={sublanes}; "
+                "each persistent block is [sublanes, pblock//sublanes] and "
+                "needs an exact factorization")
         em_types = np.asarray(scene.em_type)
         n_area = int((em_types == EM_AREA).sum())
         n_const = int((em_types == EM_CONSTANT).sum())

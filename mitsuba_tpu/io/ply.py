@@ -49,7 +49,7 @@ def load_ply(path: str) -> Mesh:
         data = f.read()
 
     endian = {"binary_little_endian": "<", "binary_big_endian": ">"}.get(fmt)
-    verts = norms = uvs = None
+    verts = norms = uvs = colors = None
     faces = []
     pos = 0
 
@@ -64,7 +64,8 @@ def load_ply(path: str) -> Mesh:
             if name == "vertex":
                 cols = {p[0]: j for j, p in enumerate(props)}
                 arr = np.array([[float(x) for x in r] for r in rows])
-                verts, norms, uvs = _extract_vertex(arr, cols)
+                verts, norms, uvs, colors = _extract_vertex(
+                    arr, cols, props)
             elif name == "face":
                 for r in rows:
                     k = int(r[0])
@@ -80,7 +81,8 @@ def load_ply(path: str) -> Mesh:
                     for i in range(count)])
                 pos += count * size
                 cols = {p[0]: j for j, p in enumerate(props)}
-                verts, norms, uvs = _extract_vertex(arr, cols)
+                verts, norms, uvs, colors = _extract_vertex(
+                    arr, cols, props)
             elif name == "face":
                 for _ in range(count):
                     for p in props:
@@ -103,17 +105,25 @@ def load_ply(path: str) -> Mesh:
 
     return Mesh(vertices=np.asarray(verts),
                 faces=np.asarray(faces, np.int64),
-                normals=norms, uvs=uvs)
+                normals=norms, uvs=uvs, colors=colors)
 
 
-def _extract_vertex(arr, cols):
+def _extract_vertex(arr, cols, props):
     verts = arr[:, [cols["x"], cols["y"], cols["z"]]]
     norms = None
     uvs = None
+    colors = None
     if all(k in cols for k in ("nx", "ny", "nz")):
         norms = arr[:, [cols["nx"], cols["ny"], cols["nz"]]]
     for (a, b) in (("u", "v"), ("s", "t")):
         if a in cols and b in cols:
             uvs = arr[:, [cols[a], cols[b]]]
             break
-    return verts, norms, uvs
+    if all(k in cols for k in ("red", "green", "blue")):
+        colors = arr[:, [cols["red"], cols["green"], cols["blue"]]]
+        # integer color channels are 0..255 (ply.cpp normalizes uchar)
+        ptypes = {p[0]: p[1] for p in props if p[0] != "list"}
+        if ptypes.get("red", "float") not in ("float", "float32",
+                                              "double", "float64"):
+            colors = colors / 255.0
+    return verts, norms, uvs, colors

@@ -20,6 +20,9 @@ class Mesh:
     faces: np.ndarray               # [F, 3] int64
     normals: np.ndarray | None = None   # [V, 3] shading normals
     uvs: np.ndarray | None = None       # [V, 2]
+    colors: np.ndarray | None = None    # [V, 3] linear vertex colors
+    #   (consumed by texture/geomtex.py bake_vertex_colors — the
+    #   vertexcolors texture analog; ref: src/textures/vertexcolors.cpp)
 
 
 def rectangle() -> Mesh:

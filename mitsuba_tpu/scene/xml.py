@@ -306,6 +306,7 @@ def load_xml(path: str, parameters: dict | None = None,
     integrator_config = {"type": "path"}
     sampler_kind, spp = "independent", 16
     named_materials: dict[str, int] = {}
+    geom_tex: dict[int, tuple] = {}   # mat id → deferred geometry texture
 
     def warn_or_raise(msg):
         if strict:
@@ -342,7 +343,7 @@ def load_xml(path: str, parameters: dict | None = None,
                 else desc.add_material()
             for tex in elem.findall("texture"):
                 timg = _parse_texture(tex)
-                if timg is not None:
+                if isinstance(timg, np.ndarray):
                     desc.materials[mid].normal_texture = \
                         desc.add_texture(timg)
             if btype == "bumpmap":
@@ -380,7 +381,7 @@ def load_xml(path: str, parameters: dict | None = None,
                         p.get("distribution", "ggx"))
             for tex in elem.findall("texture"):
                 timg = _parse_texture(tex)
-                if timg is not None:
+                if isinstance(timg, np.ndarray):
                     kw["weight_texture"] = desc.add_texture(timg)
             mid = desc.add_material(**kw)
             if elem.get("id"):
@@ -421,11 +422,16 @@ def load_xml(path: str, parameters: dict | None = None,
         if "transmittance" in p:
             kw["transmittance"] = p["transmittance"]
         # texture child for reflectance
+        pending_geom = None
         for tex in elem.findall("texture"):
             timg = _parse_texture(tex)
-            if timg is not None:
+            if isinstance(timg, np.ndarray):
                 kw["albedo_texture"] = desc.add_texture(timg)
+            elif isinstance(timg, tuple) and timg[0] == "__geom__":
+                pending_geom = timg[1:]
         mid = desc.add_material(**kw)
+        if pending_geom is not None:
+            geom_tex[mid] = pending_geom
         if elem.get("id"):
             named_materials[elem.get("id")] = mid
         return mid
@@ -437,6 +443,30 @@ def load_xml(path: str, parameters: dict | None = None,
             from ..texture.texture import checkerboard
             return checkerboard(color0=p.get("color0", (0.4,) * 3),
                                 color1=p.get("color1", (0.2,) * 3))
+        if ttype == "gridtexture":
+            from ..texture.texture import grid_texture
+            return grid_texture(color0=p.get("color0", (0.2,) * 3),
+                                color1=p.get("color1", (0.4,) * 3),
+                                line_width=float(p.get("lineWidth", 0.01)))
+        if ttype == "scale":
+            # pure multiplier, folded at compile time (scale.cpp)
+            from ..texture.geomtex import scale_texture
+            scale = p.get("scale", 1.0)
+            inner = tex.find("texture")
+            if inner is not None:
+                nested = _parse_texture(inner)
+                if isinstance(nested, np.ndarray):
+                    return scale_texture(nested, scale)
+                return nested          # marker or None: cannot fold
+            val = p.get("value", (1.0, 1.0, 1.0))
+            if np.isscalar(val):
+                val = (val,) * 3
+            return scale_texture(np.asarray(val, np.float32).reshape(
+                1, 1, 3), scale)
+        if ttype in ("wireframe", "curvature", "vertexcolors"):
+            # geometry textures: baked per shape at the shape site
+            # (texture/geomtex.py — needs the mesh, deferred via marker)
+            return ("__geom__", ttype, p)
         if ttype == "bitmap" and "filename" in p:
             from ..io.image import read_exr, read_pfm
             fn = os.path.join(base, p["filename"])
@@ -655,6 +685,39 @@ def load_xml(path: str, parameters: dict | None = None,
                 ep = _props(e_el, params)
                 radiance = ep.get("radiance", [1.0, 1.0, 1.0])
             flip = bool(p.get("flipNormals", False))
+            if mat in geom_tex and mesh is not None:
+                # geometry texture (wireframe/curvature/vertexcolors):
+                # bake against THIS shape's mesh and bind a per-shape
+                # material clone (texture/geomtex.py)
+                import copy
+
+                from ..texture import geomtex
+                kind, tp = geom_tex[mat]
+                if kind == "wireframe":
+                    img = geomtex.wireframe_pattern(
+                        mesh,
+                        interior=tp.get("interiorColor", (0.5,) * 3),
+                        edge=tp.get("edgeColor", (0.1,) * 3),
+                        line_width=float(tp.get("lineWidth", 0.0)),
+                        step_width=float(tp.get("stepWidth", 0.5)))
+                    mesh = geomtex.deindex_barycentric(mesh)
+                elif kind == "curvature":
+                    img, mesh = geomtex.bake_curvature(
+                        mesh, tp.get("curvature", "gaussian"),
+                        float(tp.get("scale", 1.0)))
+                else:                   # vertexcolors
+                    if mesh.colors is None:
+                        warn_or_raise(
+                            "vertexcolors texture on a mesh without "
+                            "vertex colors; using 0.5 gray")
+                        cols = np.full((len(mesh.vertices), 3), 0.5)
+                    else:
+                        cols = mesh.colors
+                    img, mesh = geomtex.bake_vertex_colors(mesh, cols)
+                m2 = copy.deepcopy(desc.materials[mat])
+                m2.albedo_texture = desc.add_texture(img)
+                desc.materials.append(m2)
+                mat = len(desc.materials) - 1
             if obj_groups is not None:
                 for gmesh, gmat in obj_groups:
                     desc.add_shape(gmesh, to_world=to_world,

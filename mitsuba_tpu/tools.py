@@ -9,6 +9,8 @@ scene XML + .serialized geometry).
     python -m mitsuba_tpu.tools info img.exr
     python -m mitsuba_tpu.tools import scene.dae out.xml [--res WxH]
     python -m mitsuba_tpu.tools import mesh.obj out.xml
+    python -m mitsuba_tpu.tools joinrgb r.exr g.exr b.exr out.exr
+    python -m mitsuba_tpu.tools tracebench scene.xml [--rays N]
 """
 from __future__ import annotations
 
@@ -67,6 +69,68 @@ def cmp(args):
     ok = rel.max() <= args.rtol
     print("MATCH" if ok else "DIFFER")
     return 0 if ok else 1
+
+
+def joinrgb(args):
+    """Merge channel 0 of three images into one RGB image
+    (ref: src/utils/joinrgb.cpp — R/G/B EXRs → RGB EXR)."""
+    from .io.image import write_image
+    chans = []
+    for p in (args.r, args.g, args.b):
+        img = _read(p)
+        chans.append(img[..., 0] if img.ndim == 3 else img)
+    if not (chans[0].shape == chans[1].shape == chans[2].shape):
+        print(f"DIFFER: shapes {[c.shape for c in chans]}")
+        return 1
+    write_image(args.output, np.stack(chans, axis=-1))
+    print(f"wrote {args.output}")
+    return 0
+
+
+def tracebench(args):
+    """Accel build + trace throughput on a scene — the `mtsutil kdbench`
+    analog (ref: src/utils/kdbench.cpp:60: builds the kd-tree, then
+    reports rays/s for coherent + incoherent ray batches). Here: scene
+    compile (Woop cluster packing) time, then rays/s for camera-coherent
+    and randomly-shuffled ray batches through accel/dense.ray_intersect."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .accel.dense import ray_intersect
+    from .scene.xml import load_xml
+
+    loaded = load_xml(args.scene)
+    t0 = time.perf_counter()
+    scene = loaded.compile()
+    build_s = time.perf_counter() - t0
+    print(f"scene compile (accel build): {build_s * 1e3:.1f} ms, "
+          f"{scene.n_tris} triangles")
+
+    n = args.rays
+    cam = loaded.camera
+    px = np.random.default_rng(0).uniform(
+        0, [cam.width, cam.height], (n, 2)).astype(np.float32)
+    o, d = cam.sample_ray(jnp.asarray(px))
+    perm = np.random.default_rng(1).permutation(n)
+
+    @jax.jit
+    def trace(o, d):
+        its = ray_intersect(scene, o, d)
+        return its.valid.sum()
+
+    for label, oo, dd in (("coherent", o, d),
+                          ("incoherent", o[perm], d[perm])):
+        trace(oo, dd).block_until_ready()           # compile
+        t0 = time.perf_counter()
+        reps = 5
+        outs = [trace(oo, dd) for _ in range(reps)]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        print(f"{label}: {n * reps / dt / 1e6:.1f} M rays/s "
+              f"({int(outs[0])}/{n} hit)")
+    return 0
 
 
 def info(args):
@@ -135,7 +199,10 @@ def import_scene(args):
             fix = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
                             [0, -1, 0, 0], [0, 0, 0, 1]], np.float64)
         elif dae.up_axis == "X_UP":
-            fix = np.array([[0, 1, 0, 0], [-1, 0, 0, 0],
+            # +90 deg about Z maps the old up axis (1,0,0) -> (0,1,0)
+            # (converter.cpp's X_UP fix-up; the transpose would flip
+            # the scene upside down).
+            fix = np.array([[0, -1, 0, 0], [1, 0, 0, 0],
                             [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
         else:
             fix = np.eye(4)
@@ -145,7 +212,13 @@ def import_scene(args):
             shapes.append((rel, fix @ inst.to_world, inst.material))
         if dae.camera is not None:
             c = dae.camera
-            m = fix @ c.to_world
+            # COLLADA cameras look down local -Z; our perspective sensor
+            # looks down local +Z (transform.py look_at).  The reference
+            # converter bakes the handedness flip into the node transform
+            # (collada.cpp loadCamera: transform * scale(1,1,-1)); do the
+            # same so the exported sensor faces the right way and is not
+            # left/right mirrored.
+            m = fix @ c.to_world @ np.diag([1.0, 1.0, -1.0, 1.0])
             rows = " ".join(f"{v:.9g}" for v in m.reshape(-1))
             cam_xml = (
                 f'    <sensor type="perspective">\n'
@@ -231,6 +304,19 @@ def main(argv=None) -> int:
     i = sub.add_parser("info", help="image statistics")
     i.add_argument("input")
     i.set_defaults(fn=info)
+
+    j = sub.add_parser("joinrgb", help="merge R/G/B images into RGB")
+    j.add_argument("r")
+    j.add_argument("g")
+    j.add_argument("b")
+    j.add_argument("output")
+    j.set_defaults(fn=joinrgb)
+
+    tb = sub.add_parser("tracebench",
+                        help="accel build + trace rays/s (kdbench)")
+    tb.add_argument("scene")
+    tb.add_argument("--rays", type=int, default=1 << 20)
+    tb.set_defaults(fn=tracebench)
 
     imp = sub.add_parser(
         "import", help="COLLADA/OBJ → scene XML (+.serialized)")

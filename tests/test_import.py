@@ -162,6 +162,12 @@ def test_import_dae_renders(tmp_path):
     # fix maps (x, y, z) → (x, z, -y), so position (0,-5,1) → (0, 1, 5)
     assert np.allclose(np.asarray(camera.to_world)[:3, 3], [0, 1, 5],
                        atol=1e-5)
+    # orientation: our sensors look down local +Z (third rotation column);
+    # the COLLADA camera looks down its node's -Z, so the exported view
+    # direction must equal fix @ (0,0,-1) = (0,-1,0) for this Z_UP scene
+    # (collada.cpp loadCamera bakes the same scale(1,1,-1) flip).
+    view = np.asarray(camera.to_world)[:3, 2]
+    assert np.allclose(view, [0, -1, 0], atol=1e-5)
     # end to end: compiles + renders finite pixels
     from mitsuba_tpu.film.film import Film
     from mitsuba_tpu.integrator.direct import DirectIntegrator
@@ -172,6 +178,44 @@ def test_import_dae_renders(tmp_path):
                             DirectIntegrator().specialized_for(scene),
                             spp=2, seed=0))
     assert np.isfinite(img).all()
+
+
+def test_import_dae_x_up(tmp_path):
+    """X_UP fix-up must map the old up axis (1,0,0) to (0,1,0) — the
+    +90° rotation about Z, not its inverse (which flips scenes upside
+    down)."""
+    p = os.path.join(str(tmp_path), "xup.dae")
+    with open(p, "w") as f:
+        f.write(DAE.replace("Z_UP", "X_UP"))
+    out_xml = os.path.join(str(tmp_path), "xup_out", "scene.xml")
+    rc = tools.main(["import", p, out_xml, "--res", "16x16"])
+    assert rc == 0
+    from mitsuba_tpu.scene.xml import load_xml
+    loaded = load_xml(out_xml)
+    # tri node sits at (5,0,0) in the DAE — the old up axis direction —
+    # so after the fix it must land at (0,5,0)
+    tris = [s for s in loaded.desc.shapes
+            if np.allclose(np.abs(np.asarray(s.to_world)[:3, 3]).max(), 5)]
+    assert len(tris) == 1
+    assert np.allclose(np.asarray(tris[0].to_world)[:3, 3], [0, 5, 0],
+                       atol=1e-6)
+    # camera node at (0,-5,1) → (5,0,1); view -Z stays -Z under this fix
+    cam = np.asarray(loaded.camera.to_world)
+    assert np.allclose(cam[:3, 3], [5, 0, 1], atol=1e-5)
+    assert np.allclose(cam[:3, 2], [0, 0, -1], atol=1e-5)
+
+
+def test_mega_sublanes_validation():
+    import pytest
+
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.scene.builder import compile_scene
+    from mitsuba_tpu.scene.presets import cornell_box
+    scene = compile_scene(cornell_box())
+    with pytest.raises(ValueError, match="pblock"):
+        MegaPathTracer.for_scene(scene, pblock=16384, sublanes=24)
+    with pytest.raises(ValueError, match="sublanes"):
+        MegaPathTracer.for_scene(scene, sublanes=12)
 
 
 def test_import_obj(tmp_path):
@@ -190,3 +234,27 @@ def test_import_obj(tmp_path):
     assert len(loaded.desc.shapes) == 1
     mat = loaded.desc.materials[loaded.desc.shapes[0].material]
     assert np.allclose(mat.albedo, [0.1, 0.7, 0.1], atol=1e-6)
+
+
+def test_joinrgb(tmp_path):
+    from mitsuba_tpu.io.image import read_exr, write_image
+    paths = []
+    for i, name in enumerate(("r", "g", "b")):
+        img = np.zeros((4, 4, 3), np.float32)
+        img[..., 0] = (i + 1) * 0.25       # channel 0 carries the value
+        p = os.path.join(str(tmp_path), f"{name}.exr")
+        write_image(p, img)
+        paths.append(p)
+    out = os.path.join(str(tmp_path), "rgb.exr")
+    rc = tools.main(["joinrgb", *paths, out])
+    assert rc == 0
+    img = read_exr(out)
+    assert np.allclose(img[0, 0], [0.25, 0.5, 0.75], atol=1e-3)
+
+
+def test_tracebench_runs(capsys):
+    rc = tools.main(["tracebench", "scenes/cornell.xml",
+                     "--rays", "4096"])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "rays/s" in outp and "coherent" in outp
