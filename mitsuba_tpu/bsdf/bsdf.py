@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import microfacet as mf
@@ -108,6 +109,99 @@ def roughdiffuse_sample(p, wi, u2, u1):
     w = jnp.where(pdf[..., None] > 0, f / jnp.maximum(pdf, 1e-6)[..., None],
                   0.0)
     return wo, w, pdf, jnp.zeros(wi.shape[:-1], bool), jnp.ones(wi.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# LEADR anisotropic rough diffuse (ref: src/bsdfs/aniso_roughdiffuse.cpp)
+# ---------------------------------------------------------------------------
+# Diffuse microsurface whose slopes follow an anisotropic Gaussian given by
+# its first/second moments (μx, μy, E[x²], E[y²], E[xy]) — winmad's LEADR-
+# mapping appearance-prefiltering BSDF. The reference evaluates the slope
+# expectation with ONE random sample per eval (aniso_roughdiffuse.cpp:144,
+# a per-thread sampler pool); here the Gaussian expectation is evaluated
+# with a DETERMINISTIC 4-point unscented quadrature (sigma points μ±√2·L·eᵢ
+# of the Cholesky factor L): exact for quadratic integrands, no extra RNG
+# dims in the replayable counter stream, and zero estimator variance. The
+# Smith height-correlated masking term uses the same approxLambda
+# rational fit (aniso_roughdiffuse.cpp:85-107).
+
+def _leadr_lambda(w, mux, muy, sx2, sy2, cxy):
+    ct = _cos_theta(w)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    st_s = jnp.maximum(st, 1e-7)
+    cphi, sphi = w[..., 0] / st_s, w[..., 1] / st_s
+    cot = ct / st_s
+    mu_phi = cphi * mux + sphi * muy
+    s2_phi = jnp.maximum(cphi * cphi * sx2 + sphi * sphi * sy2
+                         + 2.0 * cphi * sphi * cxy, 1e-12)
+    v = (cot - mu_phi) / jnp.sqrt(2.0 * s2_phi)
+    lam = jnp.where(
+        v < 0.0, 1e8,
+        jnp.where(v < 1.6,
+                  (1.0 - 1.259 * v + 0.396 * v * v)
+                  / jnp.maximum(3.535 * v + 2.181 * v * v, 1e-12),
+                  0.0))
+    return jnp.where(st < 1e-6, 0.0, lam)
+
+
+def anisoroughdiffuse_eval(p, wi, wo):
+    albedo = p[..., 0:3]
+    mux, muy = p[..., 3], p[..., 4]
+    sx2 = jnp.maximum(p[..., 5] - mux * mux, 1e-8)
+    sy2 = jnp.maximum(p[..., 6] - muy * muy, 1e-8)
+    cxy = p[..., 7] - mux * muy
+    use_vis = p[..., 11] > 0.5
+
+    # mesoscale normal from the mean slope
+    ml = jax.lax.rsqrt(mux * mux + muy * muy + 1.0)
+    mnx, mny, mnz = -mux * ml, -muy * ml, ml
+    wi_dot_n = wi[..., 0] * mnx + wi[..., 1] * mny + wi[..., 2] * mnz
+
+    # height-correlated Smith G2 from the moments (slope-independent)
+    lam_i = _leadr_lambda(wi, mux, muy, sx2, sy2, cxy)
+    lam_o = _leadr_lambda(wo, mux, muy, sx2, sy2, cxy)
+    g2 = 1.0 / (1.0 + lam_i + lam_o)
+
+    # Cholesky of the slope covariance (decorrelated sampling basis, as
+    # the reference's conditional Gaussian draw)
+    l11 = jnp.sqrt(sx2)
+    l21 = cxy / l11
+    l22 = jnp.sqrt(jnp.maximum(sy2 - l21 * l21, 1e-12))
+
+    r = 0.0
+    s2 = jnp.sqrt(2.0)
+    for (z0, z1) in ((s2, 0.0), (-s2, 0.0), (0.0, s2), (0.0, -s2)):
+        sx = mux + l11 * z0
+        sy = muy + l21 * z0 + l22 * z1
+        il = jax.lax.rsqrt(sx * sx + sy * sy + 1.0)
+        wmx, wmy, wmz = -sx * il, -sy * il, il
+        di = jnp.maximum(wmx * wi[..., 0] + wmy * wi[..., 1]
+                         + wmz * wi[..., 2], 0.0)
+        do = jnp.maximum(wmx * wo[..., 0] + wmy * wo[..., 1]
+                         + wmz * wo[..., 2], 0.0)
+        term = di * do / wmz
+        term = jnp.where(use_vis & (di > 1e-7) & (do > 1e-7),
+                         term * g2,
+                         jnp.where(use_vis, 0.0, term))
+        r = r + 0.25 * term
+
+    scale = INV_PI * mnz / jnp.maximum(wi_dot_n, 1e-7) * r
+    valid = (_cos_theta(wi) > 0) & (_cos_theta(wo) > 0) & (wi_dot_n > 0)
+    return jnp.where(valid[..., None], albedo * scale[..., None], 0.0)
+
+
+def anisoroughdiffuse_pdf(p, wi, wo):
+    return diffuse_pdf(p, wi, wo)
+
+
+def anisoroughdiffuse_sample(p, wi, u2, u1):
+    wo = square_to_cosine_hemisphere(u2)
+    pdf = diffuse_pdf(p, wi, wo)
+    f = anisoroughdiffuse_eval(p, wi, wo)
+    w = jnp.where(pdf[..., None] > 0,
+                  f / jnp.maximum(pdf, 1e-6)[..., None], 0.0)
+    return wo, w, pdf, jnp.zeros(wi.shape[:-1], bool), jnp.ones(
+        wi.shape[:-1])
 
 
 # ---------------------------------------------------------------------------
@@ -505,6 +599,26 @@ def _rp_parts(p):
     return eta, kd, ks, nonlinear, alpha, dist
 
 
+def _rough_t(eta, a, ct, dist):
+    """External rough transmittance T(η, α, cosθ) per distribution
+    (rtrans tables; ref: roughplastic.cpp m_externalRoughTransmittance)."""
+    from . import rtrans
+    t_ggx = rtrans.lookup(rtrans.transmittance_table(True), eta, a, ct)
+    t_bk = rtrans.lookup(rtrans.transmittance_table(False), eta, a, ct)
+    return jnp.where(jnp.asarray(dist) == mf.GGX, t_ggx, t_bk)
+
+
+def _rough_fdr(eta, a, dist):
+    """Internal diffuse Fresnel reflectance 1 − evalDiffuse(α)
+    (ref: roughplastic.cpp m_internalRoughTransmittance)."""
+    from . import rtrans
+    d_ggx = rtrans.lookup_diffuse(rtrans.diffuse_transmittance_inv(True),
+                                  eta, a)
+    d_bk = rtrans.lookup_diffuse(rtrans.diffuse_transmittance_inv(False),
+                                 eta, a)
+    return 1.0 - jnp.where(jnp.asarray(dist) == mf.GGX, d_ggx, d_bk)
+
+
 def roughplastic_eval(p, wi, wo):
     eta, kd, ks, nonlinear, a, dist = _rp_parts(p)
     ci, co = _cos_theta(wi), _cos_theta(wo)
@@ -513,10 +627,18 @@ def roughplastic_eval(p, wi, wo):
     d_ndf = mf.eval_d(h, a, a, dist)
     g = mf.smith_g(wi, wo, h, a, a, dist)
     spec = ks * (fm * d_ndf * g / jnp.maximum(4.0 * ci, 1e-7))[..., None]
-    fi, _, _, _ = fresnel_dielectric(ci, eta)
-    fo, _, _, _ = fresnel_dielectric(co, eta)
-    diff = _plastic_diffuse_weight(eta, kd, nonlinear)
-    diffuse = diff * (INV_PI * (1.0 - fi) * (1.0 - fo)
+    # diffuse base seen through the ROUGH interface: T12·T21 rough
+    # transmittance + α-dependent internal Fdr (roughplastic.cpp:~300,
+    # tables from bsdf/rtrans.py instead of data/microfacet/*.dat)
+    t12 = _rough_t(eta, a, ci, dist)
+    t21 = _rough_t(eta, a, co, dist)
+    fdr = _rough_fdr(eta, a, dist)
+    inv_eta2 = 1.0 / (eta * eta)
+    denom = jnp.where(nonlinear[..., None] > 0.5,
+                      1.0 - kd * fdr[..., None],
+                      (1.0 - fdr)[..., None])
+    diff = kd * inv_eta2[..., None] / jnp.maximum(denom, 1e-4)
+    diffuse = diff * (INV_PI * t12 * t21
                       * jnp.maximum(co, 0.0))[..., None]
     valid = (ci > 0) & (co > 0)
     return jnp.where(valid[..., None], spec + diffuse, 0.0)
@@ -660,6 +782,7 @@ _SMOOTH_EVAL = {
     S.MAT_ROUGH_PLASTIC: roughplastic_eval,
     S.MAT_DIFFUSE: diffuse_eval,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_eval,
+    S.MAT_ANISO_ROUGHDIFFUSE: anisoroughdiffuse_eval,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_eval,
     S.MAT_ROUGH_DIELECTRIC: roughdielectric_eval,
     S.MAT_PLASTIC: plastic_eval,
@@ -671,6 +794,7 @@ _SMOOTH_PDF = {
     S.MAT_ROUGH_PLASTIC: roughplastic_pdf,
     S.MAT_DIFFUSE: diffuse_pdf,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_pdf,
+    S.MAT_ANISO_ROUGHDIFFUSE: anisoroughdiffuse_pdf,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_pdf,
     S.MAT_ROUGH_DIELECTRIC: roughdielectric_pdf,
     S.MAT_PLASTIC: plastic_pdf,
@@ -682,6 +806,7 @@ _SAMPLERS = {
     S.MAT_ROUGH_PLASTIC: roughplastic_sample,
     S.MAT_DIFFUSE: diffuse_sample,
     S.MAT_ROUGH_DIFFUSE: roughdiffuse_sample,
+    S.MAT_ANISO_ROUGHDIFFUSE: anisoroughdiffuse_sample,
     S.MAT_CONDUCTOR: conductor_sample,
     S.MAT_ROUGH_CONDUCTOR: roughconductor_sample,
     S.MAT_DIELECTRIC: dielectric_sample,

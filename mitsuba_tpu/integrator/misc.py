@@ -44,7 +44,11 @@ class AmbientOcclusion(PathTracer):
 class FieldIntegrator(PathTracer):
     """Geometry AOVs (ref: field.cpp): field ∈ position | relPosition |
     distance | geoNormal | shNormal | uv | albedo | shapeIndex |
-    primIndex."""
+    primIndex — plus the winmad research AOVs wiMacro | woMacro (the
+    `baseFrameWiWo` integrator, src/integrators/path/baseFrameWiWo.cpp:
+    per-pixel view / sampled-light direction expressed in the local
+    shading frame; woMacro draws the scene's NEE emitter sample exactly
+    as the reference averages dRec directions)."""
     field: str = "shNormal"
 
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
@@ -73,6 +77,22 @@ class FieldIntegrator(PathTracer):
         elif f == "shapeIndex":
             out = jnp.broadcast_to(
                 its.mat_id.astype(jnp.float32)[..., None], o.shape)
+        elif f in ("wiMacro", "woMacro"):
+            from ..core.math import Frame
+            frame = Frame.from_normal(its.ns)
+            if f == "wiMacro":
+                out = Frame.to_local(frame, -d)
+            else:
+                # NEE emitter direction in the local frame
+                # (baseFrameWiWo.cpp records dRec.d per valid sample)
+                from ..core import rng as _rng
+                from ..emitter.emitter import sample_direct
+                us = _rng.sample_1d(seed, pixel_id, 1 << 23, sample_idx)
+                up = _rng.sample_2d(seed, pixel_id, (1 << 23) + 1,
+                                    sample_idx)
+                ds = sample_direct(scene, its.p, us, up)
+                out = jnp.where((ds.pdf > 0)[..., None],
+                                Frame.to_local(frame, ds.d), 0.0)
         else:
             raise ValueError(f"unknown field {f}")
         return jnp.where(its.valid[..., None], out, 0.0)

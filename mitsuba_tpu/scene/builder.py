@@ -63,6 +63,10 @@ class Material:
     table_scale: float = 1.0
     repeat_u: float = 1.0                             # irawan weave tiling
     repeat_v: float = 1.0
+    moments0: Sequence[float] = (0.0, 0.0)   # aniso_roughdiffuse: mean
+    #   slope (E[x], E[y]) of the LEADR Gaussian slope distribution
+    moments1: Sequence[float] = (0.5, 0.5, 0.0)  # (E[x²], E[y²], E[xy])
+    sample_visibility: bool = True           # Smith G2 shadowing on/off
 
     _KINDS = {
         "diffuse": S.MAT_DIFFUSE, "conductor": S.MAT_CONDUCTOR,
@@ -78,6 +82,7 @@ class Material:
         "hk": S.MAT_HK, "tabulated": S.MAT_TABULATED,
         "roughcoating": S.MAT_ROUGH_COATING,
         "irawan": S.MAT_IRAWAN,
+        "aniso_roughdiffuse": S.MAT_ANISO_ROUGHDIFFUSE,
     }
 
     def compile(self):
@@ -145,6 +150,11 @@ class Material:
         elif code == S.MAT_TABULATED:
             p[0] = float(self.table_id)
             p[1] = self.table_scale
+        elif code == S.MAT_ANISO_ROUGHDIFFUSE:
+            p[0:3] = self.albedo
+            p[3:5] = self.moments0
+            p[5:8] = self.moments1
+            p[11] = float(self.sample_visibility)
         tex = np.array([self.albedo_texture, self.roughness_texture],
                        np.int32)
         # dispatch metadata packed into the row (scene.py layout)

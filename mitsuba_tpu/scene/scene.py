@@ -42,7 +42,9 @@ MAT_ROUGH_COATING = 17    # microfacet-rough dielectric layer over a nested
                           # BSDF (ref: src/bsdfs/roughcoating.cpp)
 MAT_IRAWAN = 18           # Irawan-Marschner woven cloth
                           # (ref: src/bsdfs/irawan.{h,cpp})
-N_MAT_TYPES = 19
+MAT_ANISO_ROUGHDIFFUSE = 19   # LEADR anisotropic rough diffuse from slope
+                          # moments (ref: src/bsdfs/aniso_roughdiffuse.cpp)
+N_MAT_TYPES = 20
 
 # Emitter type codes (ref: EEmitterType emitter.h:76)
 EM_AREA = 0

@@ -92,6 +92,16 @@ class LoadedScene:
             names = tuple(cc.get("field", cc.get("type", f"ch{i}"))
                           for i, cc in enumerate(children_cfg or []))
             return MultiChannelIntegrator(children=kids, names=names)
+        if kind == "baseFrameWiWo":
+            # winmad appearance-capture integrator: render + per-pixel
+            # wi/wo in the local frame (baseFrameWiWo.cpp writes
+            # wiMacro.exr/woMacro.exr next to the render)
+            from ..integrator.multichannel import MultiChannelIntegrator
+            return MultiChannelIntegrator(
+                children=(PathTracer(**cfg),
+                          FieldIntegrator(field="wiMacro"),
+                          FieldIntegrator(field="woMacro")),
+                names=("radiance", "wiMacro", "woMacro"))
         if kind == "adaptive":
             child = PathTracer(**child_cfg) if child_cfg else PathTracer()
             kw = {k: cfg[k] for k in ("max_error", "p_value") if k in cfg}
@@ -229,6 +239,10 @@ _BSDF_MAP = {
     "thindielectric": "thindielectric", "plastic": "plastic",
     "roughplastic": "roughplastic", "phong": "phong", "ward": "ward",
     "null": "null", "difftrans": "difftrans", "hk": "hk",
+    # winmad LEADR rough diffuse (aniso_roughdiffuse{,_simple}.cpp —
+    # the _simple variant differs only in its shader, not the BSDF)
+    "aniso_roughdiffuse": "aniso_roughdiffuse",
+    "aniso_roughdiffuse_simple": "aniso_roughdiffuse",
 }
 
 
@@ -335,9 +349,11 @@ def load_xml(path: str, parameters: dict | None = None,
                 mid = parse_bsdf(inner)
                 desc.materials[mid].two_sided = True
                 return mid
-        if btype in ("normalmap", "bumpmap"):
+        if btype in ("normalmap", "bumpmap", "heightmap_bsdf"):
             # adapters: parse nested child, attach the perturbation texture
-            # (ref: src/bsdfs/{normalmap,bumpmap}.cpp)
+            # (ref: src/bsdfs/{normalmap,bumpmap}.cpp; heightmap_bsdf.cpp
+            # is the winmad research variant of the same height-field
+            # frame perturbation and maps onto the bumpmap path)
             inner = elem.find("bsdf")
             mid = parse_bsdf(inner) if inner is not None \
                 else desc.add_material()
@@ -346,7 +362,7 @@ def load_xml(path: str, parameters: dict | None = None,
                 if isinstance(timg, np.ndarray):
                     desc.materials[mid].normal_texture = \
                         desc.add_texture(timg)
-            if btype == "bumpmap":
+            if btype in ("bumpmap", "heightmap_bsdf"):
                 desc.materials[mid].bump_scale = 1.0
             if elem.get("id"):
                 named_materials[elem.get("id")] = mid
@@ -421,6 +437,18 @@ def load_xml(path: str, parameters: dict | None = None,
             kw["exponent"] = p["exponent"]
         if "transmittance" in p:
             kw["transmittance"] = p["transmittance"]
+        for mk, nk, n in (("moments0", "moments0", 2),
+                          ("moments1", "moments1", 3)):
+            if mk in p:
+                v = np.atleast_1d(np.asarray(p[mk], np.float64))[:n]
+                # the reference stores LEADR moments with a +1e4 offset
+                # to keep Spectrum values positive
+                # (aniso_roughdiffuse.cpp m_offset); undo it here
+                if np.all(v >= 1e3):
+                    v = v - 1e4
+                kw[nk] = tuple(v)
+        if "sampleVisibility" in p:
+            kw["sample_visibility"] = bool(p["sampleVisibility"])
         # texture child for reflectance
         pending_geom = None
         for tex in elem.findall("texture"):

@@ -87,9 +87,12 @@ def test_multichannel_xml(tmp_path):
 def translucent():
     desc = cornell_box()
     mat = desc.add_material(kind="diffuse", albedo=(0.0, 0.0, 0.0))
+    # floating mid-air in the free region between the two boxes (the
+    # preset box spans [0,1]³ with the floor at y=0 — a sphere below
+    # y=0 would be outside the box and never visible)
     desc.add_shape(shapes.sphere(10, 20),
-                   to_world=tfm.translate([0.2, -0.55, 0.2])
-                   @ tfm.scale([0.35] * 3), material=mat)
+                   to_world=tfm.translate([0.32, 0.5, 0.62])
+                   @ tfm.scale([0.16] * 3), material=mat)
     return compile_scene(desc), cornell_camera(RES, RES), mat
 
 
@@ -130,3 +133,49 @@ def test_singlescatter_terms_scale(translucent):
     diff = np.asarray(l2) - np.asarray(l1)
     assert diff.min() >= -1e-6           # monotone in depth
     assert np.isfinite(diff).all()
+
+
+def test_wiwo_fields():
+    """baseFrameWiWo analog: wiMacro/woMacro AOVs in the local frame
+    (ref: src/integrators/path/baseFrameWiWo.cpp)."""
+    from mitsuba_tpu.integrator.misc import FieldIntegrator
+    scene = compile_scene(cornell_box())
+    cam = cornell_camera(RES, RES)
+    l_wi, _ = _li_grid(FieldIntegrator(field="wiMacro"), scene, cam)
+    l_wo, _ = _li_grid(FieldIntegrator(field="woMacro"), scene, cam)
+    l_wi, l_wo = np.asarray(l_wi), np.asarray(l_wo)
+    assert np.isfinite(l_wi).all() and np.isfinite(l_wo).all()
+    # view direction in the local frame has cosθ > 0 on front-facing hits
+    nz = np.abs(l_wi).sum(-1) > 0
+    assert nz.any()
+    assert (l_wi[nz][:, 2] > 0).mean() > 0.95
+    # unit length where valid
+    assert np.allclose(np.linalg.norm(l_wi[nz], axis=-1), 1.0, atol=1e-4)
+    nzo = np.abs(l_wo).sum(-1) > 0
+    assert np.allclose(np.linalg.norm(l_wo[nzo], axis=-1), 1.0, atol=1e-4)
+
+
+def test_baseframe_wiwo_xml(tmp_path):
+    import os
+    import textwrap
+    xml = textwrap.dedent("""\
+        <scene version="0.5.0">
+            <integrator type="baseFrameWiWo"/>
+            <sensor type="perspective">
+                <float name="fov" value="40"/>
+                <film type="hdrfilm">
+                    <integer name="width" value="8"/>
+                    <integer name="height" value="8"/>
+                </film>
+            </sensor>
+            <shape type="rectangle"/>
+            <emitter type="constant"><spectrum name="radiance" value="1"/>
+            </emitter>
+        </scene>
+    """)
+    p = os.path.join(str(tmp_path), "s.xml")
+    with open(p, "w") as f:
+        f.write(xml)
+    from mitsuba_tpu.scene.xml import load_xml
+    integ = load_xml(p).make_integrator()
+    assert integ.names == ("radiance", "wiMacro", "woMacro")
