@@ -214,6 +214,10 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         attr_p[:n_a, 18] = np.where(emissive, pmf_all[eid], 0.0)
     else:
         attr_p[:n_a, 17] = 1.0
+    # flat-scene fast path: detected BEFORE the cluster reshape (columns
+    # 8:14 are the vn deltas; post-reshape [:, 8:14] would address
+    # triangles 8..13 instead and misreport every scene as smooth)
+    any_smooth = bool(np.any(np.abs(attr_p[:, 8:14]) > 1e-7))
     attr_p = attr_p.reshape(c_clusters, tc, N_ATTR)
 
     mat = np.asarray(scene.mat_params)
@@ -263,7 +267,7 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         tc=tc,
         m_real=m_real,
         et_real=max(et, 1),
-        smooth=bool(np.any(np.abs(attr_p[:, 8:14]) > 1e-7)))
+        smooth=any_smooth)
 
 
 # ---------------------------------------------------------------------------
