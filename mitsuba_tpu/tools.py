@@ -133,6 +133,46 @@ def tracebench(args):
     return 0
 
 
+def vol(args):
+    """Volume-grid processing (ref: src/utils/{clampVolume,
+    fillEmptyVoxels,downSampleAlbedo,splitGridVolume,upSampleVolume,
+    downSampleVolume}.cpp) on .vol files."""
+    import os
+
+    from .io.vol import load_vol, save_vol
+    from .media import voltools
+
+    grid, bmin, bmax = load_vol(args.input)
+    act = args.action
+    if act == "clamp":
+        out = voltools.clamp_volume(grid, args.threshold)
+    elif act == "fill":
+        out = voltools.fill_empty_voxels(grid)
+    elif act == "downalbedo":
+        dgrid, _, _ = load_vol(args.density)
+        out = voltools.downsample_albedo(grid, dgrid, args.factor)
+    elif act == "down":
+        from .util.appearance import volume_downsample
+        out = volume_downsample(grid, args.factor)
+    elif act == "up":
+        from .util.appearance import volume_upsample
+        out = volume_upsample(grid, args.factor)
+    elif act == "split":
+        stem, ext = os.path.splitext(args.output)
+        for (i, j), sub, smin, smax in voltools.split_grid_volume(
+                grid, bmin, bmax):
+            p = f"{stem}_{i:03d}_{j:03d}{ext}"
+            save_vol(p, sub, smin, smax)
+            print(f"wrote {p} {sub.shape}")
+        return 0
+    else:
+        print(f"unknown action {act}")
+        return 1
+    save_vol(args.output, out, bmin, bmax)
+    print(f"wrote {args.output} {np.asarray(out).shape}")
+    return 0
+
+
 def info(args):
     img = _read(args.input)
     print(f"{args.input}: shape {img.shape} dtype {img.dtype}")
@@ -317,6 +357,17 @@ def main(argv=None) -> int:
     tb.add_argument("scene")
     tb.add_argument("--rays", type=int, default=1 << 20)
     tb.set_defaults(fn=tracebench)
+
+    v = sub.add_parser("vol", help=".vol grid processing")
+    v.add_argument("action",
+                   choices=("clamp", "fill", "downalbedo", "down", "up",
+                            "split"))
+    v.add_argument("input")
+    v.add_argument("output")
+    v.add_argument("--threshold", type=float, default=0.01)
+    v.add_argument("--factor", type=int, default=2)
+    v.add_argument("--density", help="density .vol for downalbedo")
+    v.set_defaults(fn=vol)
 
     imp = sub.add_parser(
         "import", help="COLLADA/OBJ → scene XML (+.serialized)")
