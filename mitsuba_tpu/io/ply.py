@@ -74,15 +74,27 @@ def load_ply(path: str) -> Mesh:
                         faces.append([idx[0], idx[j], idx[j + 1]])
         else:
             if name == "vertex" and all(p[0] != "list" for p in props):
-                fmt_str = endian + "".join(_TYPES[p[1]][0] for p in props)
-                size = struct.calcsize(fmt_str)
-                arr = np.array([
-                    struct.unpack_from(fmt_str, data, pos + i * size)
-                    for i in range(count)])
-                pos += count * size
+                # vectorized read through a structured dtype — the
+                # per-vertex struct.unpack loop was the host-side hot
+                # path for scanned meshes (ref keeps this native:
+                # src/shapes/ply/ vendored C parser)
+                dt = np.dtype([(f"c{j}", endian + _TYPES[p[1]][0])
+                               for j, p in enumerate(props)])
+                rec = np.frombuffer(data, dtype=dt, count=count,
+                                    offset=pos)
+                arr = np.column_stack(
+                    [rec[f].astype(np.float64) for f in rec.dtype.names])
+                pos += count * dt.itemsize
                 cols = {p[0]: j for j, p in enumerate(props)}
                 verts, norms, uvs, colors = _extract_vertex(
                     arr, cols, props)
+            elif (name == "face" and len(props) == 1
+                  and props[0][0] == "list"):
+                tris, used = _parse_face_lists(
+                    data[pos:], count, _TYPES[props[0][1]][1],
+                    _TYPES[props[0][2]], endian == ">")
+                faces.extend(tris)
+                pos += used
             elif name == "face":
                 for _ in range(count):
                     for p in props:
@@ -106,6 +118,56 @@ def load_ply(path: str) -> Mesh:
     return Mesh(vertices=np.asarray(verts),
                 faces=np.asarray(faces, np.int64),
                 normals=norms, uvs=uvs, colors=colors)
+
+
+def _parse_face_lists(data, count, count_size, idx_spec, big):
+    """Triangulate `count` binary index lists → (faces [F,3] array-like,
+    bytes consumed). Three tiers: uniform-count vectorized numpy (the
+    all-triangles / all-quads common case), the native C++ parser
+    (variable counts — native/mitsuba_native.cpp ply_parse_faces), then
+    a pure-Python loop."""
+    vf, vs = idx_spec
+    e = ">" if big else "<"
+    # tier 1: probe the first face count; if every face shares it, the
+    # whole element is one fixed-stride record array
+    if count > 0 and len(data) >= count_size:
+        (k0,) = struct.unpack_from(
+            e + _TYPES_BY_SIZE_UINT[count_size], data, 0)
+        stride = count_size + k0 * vs
+        if 3 <= k0 <= 255 and len(data) >= count * stride:
+            cdt = np.dtype([("n", e + _TYPES_BY_SIZE_UINT[count_size]),
+                            ("idx", e + vf, (k0,))])
+            rec = np.frombuffer(data, dtype=cdt, count=count)
+            if (rec["n"] == k0).all():
+                idx = rec["idx"].astype(np.int64)
+                tris = np.concatenate(
+                    [np.stack([idx[:, 0], idx[:, j], idx[:, j + 1]], -1)
+                     for j in range(1, k0 - 1)])
+                return tris, count * stride
+    # tier 2: native parser
+    from .. import native
+    try:
+        res = native.ply_parse_faces(bytes(data), count, count_size, vs,
+                                     big)
+    except (ValueError, OSError):
+        res = None
+    if res is not None:
+        return res
+    # tier 3: python loop
+    faces = []
+    pos = 0
+    cf = _TYPES_BY_SIZE_UINT[count_size]
+    for _ in range(count):
+        (k,) = struct.unpack_from(e + cf, data, pos)
+        pos += count_size
+        idx = struct.unpack_from(e + vf * k, data, pos)
+        pos += vs * k
+        for j in range(1, k - 1):
+            faces.append([idx[0], idx[j], idx[j + 1]])
+    return faces, pos
+
+
+_TYPES_BY_SIZE_UINT = {1: "B", 2: "H", 4: "I"}
 
 
 def _extract_vertex(arr, cols, props):

@@ -86,6 +86,10 @@ def _load():
                                 p(ctypes.c_double), c_i64,
                                 p(ctypes.c_double), p(ctypes.c_double)]
     lib.woop_invert.restype = c_i32
+    lib.ply_parse_faces.argtypes = [p(ctypes.c_uint8), c_i64, c_i64,
+                                    c_i32, c_i32, c_i32, p(c_i64),
+                                    p(c_i64)]
+    lib.ply_parse_faces.restype = c_i64
     _lib = lib
     return _lib
 
@@ -163,6 +167,32 @@ def rgbe_decode(data: bytes, w: int, h: int) -> np.ndarray | None:
     if rc != 0:
         raise ValueError(f"corrupt RGBE data (rc={rc})")
     return img
+
+
+# ---------------------------------------------------------------------------
+# PLY face lists
+# ---------------------------------------------------------------------------
+
+def ply_parse_faces(data: bytes, count: int, count_size: int,
+                    idx_size: int, big_endian: bool):
+    """Triangulated faces [F, 3] int64 + bytes consumed, or None if the
+    native lib is unavailable. Raises on corrupt input."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    consumed = np.zeros(1, np.int64)
+    n = lib.ply_parse_faces(_ptr(buf, ctypes.c_uint8), len(data), count,
+                            count_size, idx_size, int(big_endian), None,
+                            _ptr(consumed, ctypes.c_int64))
+    if n < 0:
+        raise ValueError("corrupt PLY face list")
+    out = np.zeros((max(int(n), 1), 3), np.int64)
+    lib.ply_parse_faces(_ptr(buf, ctypes.c_uint8), len(data), count,
+                        count_size, idx_size, int(big_endian),
+                        _ptr(out, ctypes.c_int64),
+                        _ptr(consumed, ctypes.c_int64))
+    return out[:int(n)], int(consumed[0])
 
 
 # ---------------------------------------------------------------------------

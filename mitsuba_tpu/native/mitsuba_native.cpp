@@ -398,4 +398,52 @@ int32_t woop_invert(const double* p0, const double* e1, const double* e2,
     return 0;
 }
 
+// PLY binary face-list parser (ref: the vendored C parser under
+// src/shapes/ply/ — list properties force a per-face loop, which is the
+// host-side hot path for multi-million-face scans). Reads `count`
+// variable-length index lists (count_size-byte count followed by
+// idx_size-byte indices, little or big endian), fan-triangulates, and
+// writes int64 triples. Two-phase use: pass out == NULL to get the
+// triangle count, then call again with a buffer of 3*n_tris int64s.
+// Returns the triangle count, or -1 on truncated/oversized input.
+static inline uint64_t rd_uint(const uint8_t* p, int size, int big) {
+    uint64_t v = 0;
+    if (big) { for (int i = 0; i < size; i++) v = (v << 8) | p[i]; }
+    else     { for (int i = size - 1; i >= 0; i--) v = (v << 8) | p[i]; }
+    return v;
+}
+
+int64_t ply_parse_faces(const uint8_t* data, int64_t len, int64_t count,
+                        int32_t count_size, int32_t idx_size,
+                        int32_t big_endian, int64_t* out,
+                        int64_t* consumed) {
+    int64_t pos = 0, n_tri = 0;
+    for (int64_t f = 0; f < count; f++) {
+        if (pos + count_size > len) return -1;
+        uint64_t k = rd_uint(&data[pos], count_size, big_endian);
+        pos += count_size;
+        if (k > 255 || pos + (int64_t)k * idx_size > len) return -1;
+        if (out != NULL && k >= 3) {
+            int64_t i0 = (int64_t)rd_uint(&data[pos], idx_size,
+                                          big_endian);
+            int64_t prev = (int64_t)rd_uint(&data[pos + idx_size],
+                                            idx_size, big_endian);
+            for (uint64_t j = 2; j < k; j++) {
+                int64_t cur = (int64_t)rd_uint(
+                    &data[pos + j * idx_size], idx_size, big_endian);
+                out[n_tri * 3 + 0] = i0;
+                out[n_tri * 3 + 1] = prev;
+                out[n_tri * 3 + 2] = cur;
+                prev = cur;
+                n_tri++;
+            }
+        } else if (k >= 3) {
+            n_tri += (int64_t)k - 2;
+        }
+        pos += (int64_t)k * idx_size;
+    }
+    if (consumed != NULL) *consumed = pos;
+    return n_tri;
+}
+
 }  // extern "C"

@@ -123,3 +123,48 @@ def test_build_woop_uses_native_consistently():
         del os.environ["MITSUBA_TPU_NO_NATIVE"]
     assert np.allclose(wo_n, wo_p, rtol=1e-6, atol=1e-7)
     assert np.allclose(wd_n, wd_p, rtol=1e-6, atol=1e-7)
+
+
+def test_ply_face_list_tiers(tmp_path):
+    """Binary PLY face lists: the uniform-count numpy fast path, the
+    native variable-count parser, and the Python fallback must agree
+    (ref: the vendored C parser under src/shapes/ply/)."""
+    import os
+    import struct
+
+    import numpy as np
+
+    from mitsuba_tpu.io.ply import load_ply
+
+    hdr = (b"ply\nformat binary_little_endian 1.0\n"
+           b"element vertex 5\n"
+           b"property float x\nproperty float y\nproperty float z\n"
+           b"element face 2\n"
+           b"property list uchar int vertex_indices\nend_header\n")
+    verts = np.arange(15, dtype="<f4").tobytes()
+    mixed = (struct.pack("<B3i", 3, 0, 1, 2)
+             + struct.pack("<B4i", 4, 1, 2, 3, 4))
+    p = os.path.join(str(tmp_path), "mixed.ply")
+    with open(p, "wb") as f:
+        f.write(hdr + verts + mixed)
+    want = [[0, 1, 2], [1, 2, 3], [1, 3, 4]]
+
+    m_native = load_ply(p)
+    assert m_native.faces.tolist() == want
+
+    import mitsuba_tpu.native as native_mod
+    orig = native_mod.ply_parse_faces
+    try:
+        native_mod.ply_parse_faces = lambda *a, **k: None
+        m_py = load_ply(p)
+    finally:
+        native_mod.ply_parse_faces = orig
+    assert np.asarray(m_py.faces).tolist() == want
+
+    # uniform-count triangles take the vectorized tier
+    tri = (struct.pack("<B3i", 3, 0, 1, 2)
+           + struct.pack("<B3i", 3, 2, 3, 4))
+    p2 = os.path.join(str(tmp_path), "tris.ply")
+    with open(p2, "wb") as f:
+        f.write(hdr + verts + tri)
+    assert load_ply(p2).faces.tolist() == [[0, 1, 2], [2, 3, 4]]
