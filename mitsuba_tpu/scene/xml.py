@@ -92,6 +92,15 @@ class LoadedScene:
             names = tuple(cc.get("field", cc.get("type", f"ch{i}"))
                           for i, cc in enumerate(children_cfg or []))
             return MultiChannelIntegrator(children=kids, names=names)
+        if kind == "info":
+            # AOV helper (ref: src/integrators/info/info.cpp): normal /
+            # distance map onto the field integrator; filter_size (the
+            # AAF beta estimate) is computed inside the aaf integrator's
+            # filtering pass here, so it maps to aaf rather than an AOV
+            iname = cfg.pop("infoName", "normal")
+            field = {"normal": "shNormal",
+                     "distance": "distance"}.get(iname, "shNormal")
+            return FieldIntegrator(field=field)
         if kind == "baseFrameWiWo":
             # winmad appearance-capture integrator: render + per-pixel
             # wi/wo in the local frame (baseFrameWiWo.cpp writes
@@ -535,6 +544,8 @@ def load_xml(path: str, parameters: dict | None = None,
                     integrator_config[dst] = p[src]
             if "field" in p:
                 integrator_config["field"] = p["field"]
+            if "infoName" in p:
+                integrator_config["infoName"] = p["infoName"]
             if integrator_config["type"] in ("singlescatter", "dipole"):
                 for src, dst in (("sigmaS", "sigma_s"),
                                  ("sigmaA", "sigma_a"),

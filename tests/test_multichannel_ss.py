@@ -179,3 +179,21 @@ def test_baseframe_wiwo_xml(tmp_path):
     from mitsuba_tpu.scene.xml import load_xml
     integ = load_xml(p).make_integrator()
     assert integ.names == ("radiance", "wiMacro", "woMacro")
+
+
+def test_info_xml(tmp_path):
+    """info integrator maps onto field AOVs (ref: info/info.cpp)."""
+    import os
+    xml = """<scene version="0.5.0">
+      <integrator type="info">
+        <string name="infoName" value="distance"/>
+      </integrator>
+      <sensor type="perspective"/>
+    </scene>"""
+    p = os.path.join(str(tmp_path), "i.xml")
+    with open(p, "w") as f:
+        f.write(xml)
+    from mitsuba_tpu.scene.xml import load_xml
+    integ = load_xml(p).make_integrator()
+    assert isinstance(integ, FieldIntegrator)
+    assert integ.field == "distance"
