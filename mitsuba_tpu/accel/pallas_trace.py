@@ -66,6 +66,88 @@ def build_woop_clustered(woop_o: np.ndarray, tris_per_cluster: int):
     return np.ascontiguousarray(out, np.float32)
 
 
+def _trace_kernel_fused(live_ref, woop_ref, rays_o_ref, rays_d_ref,
+                        mint_ref, maxt_ref, t_ref, idx_ref, u_ref, v_ref,
+                        *, tc: int, c_clusters: int, any_hit: bool):
+    """All clusters in ONE kernel invocation: the whole [C, 3Tc, 4] Woop
+    table is VMEM-resident and a fori_loop walks it, with VMEM
+    accumulators (the same structure as the megakernel's cluster loop,
+    megakernel._trace_inline).
+
+    live_ref (SMEM, [r_blocks] int32): per-ray-block liveness flags —
+    blocks with no live lane skip the whole cluster loop (`pl.when`).
+    With the integrator's per-bounce compaction (path.py) dead lanes
+    pack into a suffix of all-dead blocks, so deep-bounce wavefronts do
+    not pay full-scene trace cost for terminated paths — the XLA-side
+    answer to the persistent megakernel's path regeneration."""
+    ox, oy, oz = (rays_o_ref[0:1, :], rays_o_ref[1:2, :],
+                  rays_o_ref[2:3, :])           # [1, B]
+    dx, dy, dz = (rays_d_ref[0:1, :], rays_d_ref[1:2, :],
+                  rays_d_ref[2:3, :])
+    mint = mint_ref[:]
+    maxt = maxt_ref[:]
+    b = ox.shape[-1]
+
+    def cluster_step(c, carry):
+        t_best, tri_best, u_best, v_best = carry
+        woop = woop_ref[c]                      # [3Tc, 4]
+
+        def transform(k):
+            w0 = woop[k * tc:(k + 1) * tc, 0:1]
+            w1 = woop[k * tc:(k + 1) * tc, 1:2]
+            w2 = woop[k * tc:(k + 1) * tc, 2:3]
+            tr = woop[k * tc:(k + 1) * tc, 3:4]
+            return (w0 * ox + w1 * oy + w2 * oz + tr,
+                    w0 * dx + w1 * dy + w2 * dz)
+
+        opx, dpx = transform(0)
+        opy, dpy = transform(1)
+        opz, dpz = transform(2)
+        rz = pl.reciprocal(jnp.where(jnp.abs(dpz) < _DZ_EPS, 1.0, dpz),
+                           approx=True)
+        rz = rz * (2.0 - jnp.where(jnp.abs(dpz) < _DZ_EPS, 1.0, dpz) * rz)
+        t = -opz * rz
+        u = opx + t * dpx
+        v = opy + t * dpy
+        inside = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        mask = ((inside >= 0.0) & (jnp.abs(dpz) >= _DZ_EPS)
+                & (t > mint) & (t < maxt))
+        tm = jnp.where(mask, t, _MISS)
+        t_c = jnp.min(tm, axis=0, keepdims=True)
+        closer = t_c < t_best
+        t_best = jnp.where(closer, t_c, t_best)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        hit_rows = jnp.where(tm == t_c, rows, tc)
+        row_best = jnp.min(hit_rows, axis=0, keepdims=True)
+        tri_best = jnp.where(closer, row_best + c * tc, tri_best)
+        if not any_hit:
+            sel = (rows == row_best) & mask
+            zero = jnp.zeros_like(u)
+            u_c = jnp.sum(jnp.where(sel, u, zero), axis=0, keepdims=True)
+            v_c = jnp.sum(jnp.where(sel, v, zero), axis=0, keepdims=True)
+            u_best = jnp.where(closer, u_c, u_best)
+            v_best = jnp.where(closer, v_c, v_best)
+        return t_best, tri_best, u_best, v_best
+
+    t_ref[:] = jnp.full((1, b), _MISS)
+    idx_ref[:] = jnp.zeros((1, b), jnp.int32)
+    if not any_hit:
+        u_ref[:] = jnp.zeros((1, b))
+        v_ref[:] = jnp.zeros((1, b))
+
+    @pl.when(live_ref[pl.program_id(0)] != 0)
+    def _():
+        init = (jnp.full((1, b), _MISS), jnp.zeros((1, b), jnp.int32),
+                jnp.zeros((1, b)), jnp.zeros((1, b)))
+        t_best, tri_best, u_best, v_best = jax.lax.fori_loop(
+            0, c_clusters, cluster_step, init)
+        t_ref[:] = t_best
+        idx_ref[:] = tri_best
+        if not any_hit:
+            u_ref[:] = u_best
+            v_ref[:] = v_best
+
+
 def _trace_kernel(woop_ref, rays_o_ref, rays_d_ref, mint_ref, maxt_ref,
                   t_ref, idx_ref, u_ref, v_ref, *, tc: int, any_hit: bool):
     c = pl.program_id(1)
@@ -137,12 +219,14 @@ def _trace_kernel(woop_ref, rays_o_ref, rays_d_ref, mint_ref, maxt_ref,
 
 @functools.partial(jax.jit, static_argnames=("tc", "block", "any_hit"))
 def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
-          block: int = DEF_BLOCK, any_hit: bool = False):
+          block: int = DEF_BLOCK, any_hit: bool = False, live=None):
     """Trace a wavefront against all clusters.
 
     woop_clusters: [C, 3*tc, 4] from build_woop_clustered (device array)
     rays_o: [4, N] (x, y, z, 1); rays_d: [4, N] (x, y, z, 0)
     mint/maxt: [1, N]
+    live: optional [N] bool/int lane-liveness; blocks with no live lane
+    skip the cluster loop entirely (their lanes report miss).
     Returns (t [N], tri [N] int32, hit [N] bool, u [N], v [N]).
     any_hit=True skips barycentric bookkeeping (shadow rays).
     """
@@ -151,12 +235,48 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
     assert n % block == 0, (n, block)
     r_blocks = n // block
 
+    f32 = jax.ShapeDtypeStruct((1, n), jnp.float32)
+    # fused form: whole Woop table VMEM-resident, in-kernel cluster loop
+    # (no per-cluster grid-step overhead). Falls back to the 2D grid for
+    # tables past the VMEM budget.
+    table_bytes = c_clusters * 3 * tc * 4 * 4
+    if table_bytes <= 8 << 20:
+        if live is None:
+            block_live = jnp.ones((r_blocks,), jnp.int32)
+        else:
+            block_live = jnp.max(
+                live.reshape(r_blocks, block).astype(jnp.int32), axis=1)
+        kernel = functools.partial(_trace_kernel_fused, tc=tc,
+                                   c_clusters=c_clusters,
+                                   any_hit=any_hit)
+        col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
+                                        memory_space=pltpu.VMEM)
+        t_out, idx_out, u_out, v_out = pl.pallas_call(
+            kernel,
+            grid=(r_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # block_live
+                pl.BlockSpec(woop_clusters.shape, lambda r: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                col(4), col(4), col(1), col(1),
+            ],
+            out_specs=(col(1), col(1), col(1), col(1)),
+            out_shape=(f32, jax.ShapeDtypeStruct((1, n), jnp.int32),
+                       f32, f32),
+            # big cluster tables legitimately need more than the 16 MB
+            # default scoped-VMEM stack (v5e has 128 MB physical VMEM)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+        )(block_live, woop_clusters, rays_o, rays_d, mint, maxt)
+        t = t_out[0]
+        hit = t < _MISS
+        return t, jnp.where(hit, idx_out[0], 0), hit, u_out[0], v_out[0]
+
     kernel = functools.partial(_trace_kernel, tc=tc, any_hit=any_hit)
     grid = (r_blocks, c_clusters)
 
     out_spec = pl.BlockSpec((1, block), lambda r, c: (0, r),
                             memory_space=pltpu.VMEM)
-    f32 = jax.ShapeDtypeStruct((1, n), jnp.float32)
     t_out, idx_out, u_out, v_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -214,41 +334,59 @@ def _pad(x, n_pad, fill=0.0):
     return x
 
 
-def _block_for(n):
-    """Ray block size: full 1024 lanes for real wavefronts, 128 for tiny
-    test wavefronts (rays are padded up to a block multiple either way)."""
-    return DEF_BLOCK if n >= DEF_BLOCK else 128
+def _block_for(n, woop_clusters=None):
+    """Ray block size: full-width for real wavefronts, 128 for tiny test
+    wavefronts (rays pad up to a block multiple either way). The fused
+    kernel's ~14 [Tc, B] f32 intermediates plus the double-buffered
+    Woop table must fit the 16 MB scoped-VMEM budget, so B shrinks as
+    the scene's cluster table grows."""
+    if n < DEF_BLOCK:
+        return 128
+    block = DEF_BLOCK
+    if woop_clusters is not None:
+        c, rows3, _ = woop_clusters.shape
+        tc = rows3 // 3
+        table = 2 * c * rows3 * 4 * 4          # double-buffered
+        while block > 512 and table + 14 * tc * block * 4 > 13 << 20:
+            block //= 2
+    return block
 
 
-def pallas_intersect(scene: SceneData, o, d, mint, maxt) -> Intersection:
+def pallas_intersect(scene: SceneData, o, d, mint, maxt,
+                     live=None) -> Intersection:
     """Closest-hit trace via the fused kernel; hit record filled by one
-    packed-attribute gather (dense.fill_intersection)."""
+    packed-attribute gather (dense.fill_intersection). `live`: optional
+    [N] lane mask — all-dead ray blocks skip tracing (miss)."""
     n = o.shape[0]
-    block = _block_for(n)
+    block = _block_for(n, scene.woop_clusters)
     n_pad = (-n) % block
     o_p, d_p = _pad(o, n_pad), _pad(d, n_pad, 1.0)
     mint_p = _pad(mint, n_pad)
     maxt_p = _pad(maxt, n_pad, -1.0)
     ro, rd = _pack_rays(o_p, d_p)
+    live_p = None if live is None else _pad(
+        live.astype(jnp.int32), n_pad)
     t, tri, hit, u, v = trace(scene.woop_clusters, ro, rd,
                               mint_p[None, :], maxt_p[None, :],
                               tc=scene.woop_clusters.shape[1] // 3,
-                              block=block)
+                              block=block, live=live_p)
     return fill_intersection(scene, o, d, t[:n], u[:n], v[:n], tri[:n],
                              hit[:n])
 
 
-def pallas_occluded(scene: SceneData, o, d, mint, maxt):
+def pallas_occluded(scene: SceneData, o, d, mint, maxt, live=None):
     """Any-hit (shadow) trace."""
     n = o.shape[0]
-    block = _block_for(n)
+    block = _block_for(n, scene.woop_clusters)
     n_pad = (-n) % block
     o_p, d_p = _pad(o, n_pad), _pad(d, n_pad, 1.0)
     mint_p = _pad(mint, n_pad)
     maxt_p = _pad(maxt, n_pad, -1.0)   # maxt < mint ⇒ no hit
     ro, rd = _pack_rays(o_p, d_p)
+    live_p = None if live is None else _pad(
+        live.astype(jnp.int32), n_pad)
     _, _, hit, _, _ = trace(scene.woop_clusters, ro, rd,
                             mint_p[None, :], maxt_p[None, :],
                             tc=scene.woop_clusters.shape[1] // 3,
-                            block=block, any_hit=True)
+                            block=block, any_hit=True, live=live_p)
     return hit[:n]

@@ -46,7 +46,33 @@ def build_env_tables(img: np.ndarray):
         "env_row_cdf": row_cdf.astype(np.float32),
         "env_col_cdf": col_cdf.astype(np.float32),
         "env_density": density_sq,
+        "env_alias": build_alias_table(dens.reshape(-1) / total),
     }
+
+
+def build_alias_table(pmf: np.ndarray) -> np.ndarray:
+    """Walker alias table for a discrete pmf → [K, 2] (accept prob,
+    alias index as float32). Sampling: k = floor(u·K); take k if
+    u' < prob[k] else alias[k] — exact, O(1), one packed row gather
+    (the TPU-native replacement for the per-lane column-CDF scan)."""
+    pmf = np.asarray(pmf, np.float64)
+    k = len(pmf)
+    scaled = pmf * k / max(pmf.sum(), 1e-300)
+    prob = np.ones(k)
+    alias = np.arange(k)
+    small = [i for i in range(k) if scaled[i] < 1.0]
+    large = [i for i in range(k) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        g = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = g
+        scaled[g] = scaled[g] - (1.0 - scaled[s])
+        (small if scaled[g] < 1.0 else large).append(g)
+    out = np.empty((k, 2), np.float32)
+    out[:, 0] = prob
+    out[:, 1] = alias.astype(np.float32)
+    return out
 
 
 def _uv_to_dir(u, v):
@@ -66,8 +92,38 @@ def _dir_to_uv(d):
 
 def sample_env(scene, u2):
     """Importance-sample a direction. Returns (d [N,3], pdf_sa [N],
-    radiance [N,3])."""
+    radiance [N,3]).
+
+    Fast path: Walker alias table (one packed [K,2] row gather; the
+    leftover uniforms become the in-texel jitter, so the continuous
+    distribution is identical to the CDF path's — only the u→sample
+    mapping differs). Falls back to the marginal/conditional CDF pair
+    when the scene predates the alias table."""
     h, w = scene.env_density.shape
+    if getattr(scene, "env_alias", None) is not None:
+        k = h * w
+        x = u2[..., 0] * k
+        bin0 = jnp.clip(x.astype(jnp.int32), 0, k - 1)
+        frac = jnp.clip(x - bin0.astype(jnp.float32), 0.0, 1.0 - 1e-6)
+        pa = scene.env_alias[bin0]                     # [N, 2]
+        accept = u2[..., 1] < pa[..., 0]
+        texel = jnp.where(accept, bin0,
+                          pa[..., 1].astype(jnp.int32))
+        # rescale the accept draw into a fresh in-texel jitter
+        u_rs = jnp.where(accept,
+                         u2[..., 1] / jnp.maximum(pa[..., 0], 1e-12),
+                         (u2[..., 1] - pa[..., 0])
+                         / jnp.maximum(1.0 - pa[..., 0], 1e-12))
+        u_rs = jnp.clip(u_rs, 0.0, 1.0 - 1e-6)
+        row = texel // w
+        col = texel - row * w
+        u = (col.astype(jnp.float32) + frac) / w
+        v = (row.astype(jnp.float32) + u_rs) / h
+        d = _uv_to_dir(u, v)
+        pdf_sq = scene.env_density[row, col]
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 1e-12))
+        pdf_sa = pdf_sq / (2.0 * jnp.pi * jnp.pi * sin_theta)
+        return d, pdf_sa, scene.env_img[row, col]
     row = jnp.clip(
         jnp.searchsorted(scene.env_row_cdf, u2[..., 0], side="right") - 1,
         0, h - 1)

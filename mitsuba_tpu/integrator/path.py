@@ -71,18 +71,18 @@ class PathTracer:
             return jax.default_backend() not in ("cpu",)
         return self.accel == "pallas"
 
-    def _intersect(self, scene, o, d, mint):
+    def _intersect(self, scene, o, d, mint, live=None):
         if self._use_pallas():
             from ..accel.pallas_trace import pallas_intersect
             maxt = jnp.full(o.shape[:1], 1e30)
-            return pallas_intersect(scene, o, d, mint, maxt)
+            return pallas_intersect(scene, o, d, mint, maxt, live=live)
         return ray_intersect(scene, o, d, mint=mint,
                              cluster_size=self.cluster_size)
 
-    def _occluded(self, scene, o, d, mint, maxt):
+    def _occluded(self, scene, o, d, mint, maxt, live=None):
         if self._use_pallas():
             from ..accel.pallas_trace import pallas_occluded
-            return pallas_occluded(scene, o, d, mint, maxt)
+            return pallas_occluded(scene, o, d, mint, maxt, live=live)
         return ray_test(scene, o, d, mint, maxt,
                         cluster_size=self.cluster_size)
 
@@ -106,12 +106,24 @@ class PathTracer:
         lookups at bounce 0 go through the matching mip level (LoD path
         tracing, integrator/footprint.py)."""
         n = o.shape[0]
+        # Per-bounce lane compaction: dead lanes pack into the tail each
+        # bounce (O(N) cumsum partition; pixel/sample ids ride along so
+        # the counter RNG streams are untouched), and the fused trace
+        # kernels skip all-dead ray blocks. Worth it once per-lane trace
+        # cost dwarfs the ~60-float permutation; tiny scenes and the
+        # dense/CPU path keep the plain loop. This is the wavefront
+        # answer to the persistent megakernel's path regeneration.
+        compact = self._use_pallas() and scene.n_tris >= 512
+        pix0 = jnp.broadcast_to(jnp.asarray(pixel_id, jnp.uint32), (n,))
+        samp0 = jnp.broadcast_to(
+            jnp.asarray(sample_idx, jnp.uint32), (n,))
 
         def bounce_body(carry, bounce):
             (o, d, throughput, L, active, eta_scale, prev_pdf,
-             prev_delta, n_rays) = carry
+             prev_delta, pixel_id, sample_idx, orig, n_rays) = carry
 
-            its = self._intersect(scene, o, d, ray_mint(o))
+            its = self._intersect(scene, o, d, ray_mint(o),
+                                  live=active if compact else None)
 
             # ---- escaped rays: environment emitter ---------------------
             escaped = active & ~its.valid
@@ -163,7 +175,9 @@ class PathTracer:
             # shadow ray: [ε, dist·(1-ShadowEpsilon)] (scene.cpp:846)
             so = offset_ray_origin(its.p, its.ng, ds.d)
             smax = ds.dist * (1.0 - SHADOW_EPSILON)
-            occluded = self._occluded(scene, so, ds.d, ray_mint(so), smax)
+            occluded = self._occluded(
+                scene, so, ds.d, ray_mint(so), smax,
+                live=contributes if compact else None)
             contributes = contributes & ~occluded
             bsdf_pdf_nee = pdf_bsdf_ex(mat, wi_local, wo_nee,
                                        self.families)
@@ -208,20 +222,37 @@ class PathTracer:
                       + jnp.sum((nee_allowed & (ds.pdf > 0))
                                 .astype(jnp.uint32)))
 
-            return ((o_next, jnp.where(alive[..., None], d_next, d),
-                     jnp.where(alive[..., None], throughput_next, 0.0),
-                     L, alive, eta_scale_next,
-                     jnp.where(bs.is_delta, 1.0, bs.pdf),
-                     bs.is_delta, n_rays), None)
+            out = (o_next, jnp.where(alive[..., None], d_next, d),
+                   jnp.where(alive[..., None], throughput_next, 0.0),
+                   L, alive, eta_scale_next,
+                   jnp.where(bs.is_delta, 1.0, bs.pdf),
+                   bs.is_delta, pixel_id, sample_idx, orig)
+            if compact:
+                # stable partition: live-lane prefix, dead-lane suffix
+                ai = alive.astype(jnp.int32)
+                live_rank = jnp.cumsum(ai) - ai
+                dead_rank = jnp.cumsum(1 - ai) - (1 - ai)
+                dest = jnp.where(alive, live_rank,
+                                 jnp.sum(ai) + dead_rank)
+                src_idx = jnp.zeros((n,), jnp.int32).at[dest].set(
+                    jnp.arange(n, dtype=jnp.int32))
+                out = tuple(x[src_idx] for x in out)
+            return (out + (n_rays,), None)
 
         n_bounces = self.max_depth if self.max_depth > 0 else 32
         # Derive carry inits from `o` so they inherit its varying-axes
         # status under shard_map (constants would trip the scan vma check).
         zf = o[..., 0] * 0.0            # [N] zeros, varying like o
         zero3 = jnp.zeros_like(o)
+        orig0 = zf.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
         init = (o, d, zero3 + 1.0, zero3, zf < 1.0,
                 zf + 1.0, zf + 1.0, zf < 1.0,
+                pix0 + zf.astype(jnp.uint32),
+                samp0 + zf.astype(jnp.uint32), orig0,
                 (zf.sum() * 0.0).astype(jnp.uint32))
-        (o_, d_, tp, L, _a, _e, _p, _pd, n_rays), _ = jax.lax.scan(
-            bounce_body, init, jnp.arange(n_bounces))
+        (o_, d_, tp, L, _a, _e, _p, _pd, _px, _sp, orig, n_rays), _ = \
+            jax.lax.scan(bounce_body, init, jnp.arange(n_bounces))
+        if compact:
+            # restore caller lane order (lanes moved with the partition)
+            L = jnp.zeros_like(L).at[orig].set(L)
         return L, n_rays

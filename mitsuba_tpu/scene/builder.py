@@ -597,6 +597,8 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
                         else np.array([[0.0, 1.0]])),
         env_density=f32(env_tables["env_density"] if env_tables
                         else np.ones((1, 1))),
+        env_alias=(f32(env_tables["env_alias"]) if env_tables
+                   else None),
         med_sigma_t=f32(med_sigma_t), med_albedo=f32(med_albedo),
         med_g=f32(med_g), med_bound=f32(med_bound),
         has_medium=jnp.asarray(has_medium),

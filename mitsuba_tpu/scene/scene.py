@@ -166,6 +166,10 @@ class SceneData(NamedTuple):
     # Gaussian-fiber microflake orientation [3] (ref: src/phase/
     # microflake.cpp); zeros ⇒ no fiber medium
     med_fiber: jnp.ndarray = None
+    # envmap Walker alias table over the H·W texel distribution
+    # (emitter/envmap.py): O(1) texel pick — 1 packed row gather —
+    # replacing the O(W) per-lane column-CDF scan. None ⇒ CDF path.
+    env_alias: jnp.ndarray = None      # [H*W, 2]: accept prob, alias id
 
     @property
     def n_tris(self):

@@ -238,6 +238,10 @@ _SHAPE_BUILDERS = {
     "cylinder": lambda p, base: shapes.cylinder(),
     "heightfield": _build_heightfield,
     "tiled_heightfield": _build_heightfield,
+    # winmad LoD/composite variants choose a mip level of the same
+    # heights (shapes.heightfield docstring) — identical load path
+    "lod_heightfield": _build_heightfield,
+    "composite_heightfield": _build_heightfield,
     "hair": _build_hair,
 }
 
