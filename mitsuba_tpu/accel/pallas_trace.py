@@ -66,9 +66,36 @@ def build_woop_clustered(woop_o: np.ndarray, tris_per_cluster: int):
     return np.ascontiguousarray(out, np.float32)
 
 
-def _trace_kernel_fused(live_ref, woop_ref, rays_o_ref, rays_d_ref,
-                        mint_ref, maxt_ref, t_ref, idx_ref, u_ref, v_ref,
-                        *, tc: int, c_clusters: int, any_hit: bool):
+def build_cluster_aabbs(p0, e1, e2, tc: int, c_clusters: int
+                        ) -> np.ndarray:
+    """World AABB per tc-sized trace cluster → [C, 8] f32 (min xyz,
+    max xyz, 2 pad columns for the (8,·) tile). Empty clusters (all
+    padding) get an inverted box, so the slab test rejects every ray.
+    The cluster partition matches build_woop_clustered (consecutive
+    triangle ranges) — this is the top level of the two-level layout
+    that replaces the reference's kd-tree interior nodes."""
+    n = len(p0)
+    out = np.empty((c_clusters, 8), np.float32)
+    out[:, 0:3] = 1e30
+    out[:, 3:6] = -1e30
+    out[:, 6:8] = 0.0
+    if n:
+        v0 = np.asarray(p0, np.float64)
+        v1 = v0 + np.asarray(e1, np.float64)
+        v2 = v0 + np.asarray(e2, np.float64)
+        lo = np.minimum(np.minimum(v0, v1), v2)
+        hi = np.maximum(np.maximum(v0, v1), v2)
+        for c in range(min(c_clusters, -(-n // tc))):
+            s = slice(c * tc, min((c + 1) * tc, n))
+            out[c, 0:3] = lo[s].min(0)
+            out[c, 3:6] = hi[s].max(0)
+    return out
+
+
+def _trace_kernel_fused(live_ref, woop_ref, aabb_ref, rays_o_ref,
+                        rays_d_ref, mint_ref, maxt_ref, t_ref, idx_ref,
+                        u_ref, v_ref, *, tc: int, c_clusters: int,
+                        any_hit: bool):
     """All clusters in ONE kernel invocation: the whole [C, 3Tc, 4] Woop
     table is VMEM-resident and a fori_loop walks it, with VMEM
     accumulators (the same structure as the megakernel's cluster loop,
@@ -88,7 +115,42 @@ def _trace_kernel_fused(live_ref, woop_ref, rays_o_ref, rays_d_ref,
     maxt = maxt_ref[:]
     b = ox.shape[-1]
 
+    # safe inverse directions for the slab tests (|d|~0 axes degrade to
+    # a huge inverse; the resulting near/far still bracket correctly for
+    # rays parallel to a slab that START inside it, and the per-triangle
+    # test is exact anyway — the AABB gate only needs to be conservative)
+    big = jnp.float32(1e30)
+    inv = lambda x: jnp.where(jnp.abs(x) < 1e-12,
+                              jnp.where(x >= 0.0, big, -big), 1.0 / x)
+    idx_, idy, idz = inv(dx), inv(dy), inv(dz)
+
     def cluster_step(c, carry):
+        t_best, tri_best, u_best, v_best = carry
+        # ---- top level: cluster AABB slab test over the whole block ---
+        t0x = (aabb_ref[c, 0] - ox) * idx_      # SMEM scalar broadcasts
+        t1x = (aabb_ref[c, 3] - ox) * idx_
+        t0y = (aabb_ref[c, 1] - oy) * idy
+        t1y = (aabb_ref[c, 4] - oy) * idy
+        t0z = (aabb_ref[c, 2] - oz) * idz
+        t1z = (aabb_ref[c, 5] - oz) * idz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.maximum(jnp.minimum(t0z, t1z), mint))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.minimum(jnp.maximum(t0z, t1z),
+                                      jnp.minimum(maxt, t_best)))
+        any_enter = jnp.max(jnp.where(near <= far, 1.0, 0.0)) > 0.0
+
+        def skip():
+            return carry
+
+        def test():
+            return _cluster_tris(c, carry)
+
+        return jax.lax.cond(any_enter, test, skip)
+
+    def _cluster_tris(c, carry):
         t_best, tri_best, u_best, v_best = carry
         woop = woop_ref[c]                      # [3Tc, 4]
 
@@ -219,7 +281,8 @@ def _trace_kernel(woop_ref, rays_o_ref, rays_d_ref, mint_ref, maxt_ref,
 
 @functools.partial(jax.jit, static_argnames=("tc", "block", "any_hit"))
 def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
-          block: int = DEF_BLOCK, any_hit: bool = False, live=None):
+          block: int = DEF_BLOCK, any_hit: bool = False, live=None,
+          cluster_aabb=None):
     """Trace a wavefront against all clusters.
 
     woop_clusters: [C, 3*tc, 4] from build_woop_clustered (device array)
@@ -246,6 +309,11 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
         else:
             block_live = jnp.max(
                 live.reshape(r_blocks, block).astype(jnp.int32), axis=1)
+        if cluster_aabb is None:
+            # everything-box: the slab gate always passes
+            cluster_aabb = jnp.tile(
+                jnp.asarray([-1e30] * 3 + [1e30] * 3 + [0.0, 0.0],
+                            jnp.float32), (c_clusters, 1))
         kernel = functools.partial(_trace_kernel_fused, tc=tc,
                                    c_clusters=c_clusters,
                                    any_hit=any_hit)
@@ -258,6 +326,7 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
                 pl.BlockSpec(memory_space=pltpu.SMEM),     # block_live
                 pl.BlockSpec(woop_clusters.shape, lambda r: (0, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # cluster aabb
                 col(4), col(4), col(1), col(1),
             ],
             out_specs=(col(1), col(1), col(1), col(1)),
@@ -267,7 +336,8 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
             # default scoped-VMEM stack (v5e has 128 MB physical VMEM)
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 << 20),
-        )(block_live, woop_clusters, rays_o, rays_d, mint, maxt)
+        )(block_live, woop_clusters, cluster_aabb, rays_o, rays_d,
+          mint, maxt)
         t = t_out[0]
         hit = t < _MISS
         return t, jnp.where(hit, idx_out[0], 0), hit, u_out[0], v_out[0]
@@ -369,7 +439,9 @@ def pallas_intersect(scene: SceneData, o, d, mint, maxt,
     t, tri, hit, u, v = trace(scene.woop_clusters, ro, rd,
                               mint_p[None, :], maxt_p[None, :],
                               tc=scene.woop_clusters.shape[1] // 3,
-                              block=block, live=live_p)
+                              block=block, live=live_p,
+                              cluster_aabb=getattr(
+                                  scene, "cluster_aabb", None))
     return fill_intersection(scene, o, d, t[:n], u[:n], v[:n], tri[:n],
                              hit[:n])
 
@@ -388,5 +460,7 @@ def pallas_occluded(scene: SceneData, o, d, mint, maxt, live=None):
     _, _, hit, _, _ = trace(scene.woop_clusters, ro, rd,
                             mint_p[None, :], maxt_p[None, :],
                             tc=scene.woop_clusters.shape[1] // 3,
-                            block=block, any_hit=True, live=live_p)
+                            block=block, any_hit=True, live=live_p,
+                            cluster_aabb=getattr(
+                                scene, "cluster_aabb", None))
     return hit[:n]

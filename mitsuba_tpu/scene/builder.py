@@ -395,8 +395,14 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         tri_area = np.concatenate([tri_area, np.zeros(pad)])
 
     woop_o, woop_d = build_woop(p0, e1, e2)
-    from ..accel.pallas_trace import PALLAS_TC, build_woop_clustered
+    from ..accel.pallas_trace import (PALLAS_TC, build_cluster_aabbs,
+                                      build_woop_clustered)
     woop_clusters = build_woop_clustered(woop_o, PALLAS_TC)
+    # per-cluster AABBs over REAL triangles only (the far-away pads
+    # would inflate the last cluster's bound into uselessness)
+    cluster_aabb = build_cluster_aabbs(p0[:n_tris], e1[:n_tris],
+                                       e2[:n_tris], PALLAS_TC,
+                                       woop_clusters.shape[0])
 
     # packed attribute rows: one gather fetches the whole hit record
     n_tp = len(p0)
@@ -599,6 +605,7 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
                         else np.ones((1, 1))),
         env_alias=(f32(env_tables["env_alias"]) if env_tables
                    else None),
+        cluster_aabb=f32(cluster_aabb),
         med_sigma_t=f32(med_sigma_t), med_albedo=f32(med_albedo),
         med_g=f32(med_g), med_bound=f32(med_bound),
         has_medium=jnp.asarray(has_medium),

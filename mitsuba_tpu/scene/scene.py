@@ -170,6 +170,11 @@ class SceneData(NamedTuple):
     # (emitter/envmap.py): O(1) texel pick — 1 packed row gather —
     # replacing the O(W) per-lane column-CDF scan. None ⇒ CDF path.
     env_alias: jnp.ndarray = None      # [H*W, 2]: accept prob, alias id
+    # per-trace-cluster world AABBs [C, 8] (min xyz, max xyz, pad):
+    # the fused trace kernel slab-tests each cluster against the ray
+    # block and skips clusters no ray can enter (accel/pallas_trace.py).
+    # None ⇒ no culling (hand-built SceneData in old tests).
+    cluster_aabb: jnp.ndarray = None
 
     @property
     def n_tris(self):
