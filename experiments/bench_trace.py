@@ -19,6 +19,7 @@ d.add_shape(shapes.sphere(24, 48), to_world=tfm.translate([-1.2, 0, 0]),
             material=m)
 d.add_shape(shapes.sphere(24, 48), to_world=tfm.translate([1.2, 0, 0]),
             material=m)
+# shuffle triangles pathologically via many small interleaved shapes
 scene = compile_scene(d, cluster_size=64)
 print("tris", scene.n_tris, "clusters", scene.woop_clusters.shape)
 

@@ -300,6 +300,32 @@ class SceneDesc:
 # Compilation
 # ---------------------------------------------------------------------------
 
+def _spread3(x):
+    """Spread the low 10 bits of x to every 3rd bit (Morton interleave)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << 16)) & np.uint64(0x030000FF)
+    x = (x | (x << 8)) & np.uint64(0x0300F00F)
+    x = (x | (x << 4)) & np.uint64(0x030C30C3)
+    x = (x | (x << 2)) & np.uint64(0x09249249)
+    return x
+
+
+def morton_order(p0, e1, e2) -> np.ndarray:
+    """Stable permutation sorting triangles along a 30-bit Morton curve
+    of their centroids. Consecutive tc-sized trace clusters then cover
+    spatially compact regions, which is what makes the per-cluster AABB
+    culling in accel/pallas_trace.py effective — the LBVH-style leaf
+    ordering of SURVEY §7, without interior pointer nodes."""
+    c = np.asarray(p0, np.float64) + (np.asarray(e1, np.float64)
+                                      + np.asarray(e2, np.float64)) / 3.0
+    lo = c.min(0)
+    ext = np.maximum(c.max(0) - lo, 1e-30)
+    q = np.minimum(((c - lo) / ext * 1023.0), 1023.0).astype(np.uint64)
+    code = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << np.uint64(1))
+            | (_spread3(q[:, 2]) << np.uint64(2)))
+    return np.argsort(code, kind="stable")
+
+
 def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
     """Bake the description into SceneData. Triangle count is padded to a
     multiple of `cluster_size` (degenerate tris never hit)."""
@@ -377,6 +403,19 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         vuv = np.zeros((0, 3, 2))
         tri_mat = np.zeros(0, np.int32); tri_em = np.zeros(0, np.int32)
         tri_area = np.zeros(0)
+
+    # Spatial (Morton) triangle order so trace clusters are compact —
+    # small scenes keep author order (fixture stability; culling is
+    # irrelevant at that size anyway)
+    if len(p0) > 256:
+        order = morton_order(p0, e1, e2)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        p0, e1, e2, ng = p0[order], e1[order], e2[order], ng[order]
+        vn, vuv = vn[order], vuv[order]
+        tri_mat, tri_em = tri_mat[order], tri_em[order]
+        tri_area = tri_area[order]
+        em_tri_lists = [(inv[t], a) for t, a in em_tri_lists]
 
     # Pad triangle soup to cluster multiple with degenerate triangles
     n_tris = len(p0)
