@@ -148,6 +148,7 @@ class MegaTables:
     eq=False → identity hash, so it can ride jit as a static argument
     (the arrays become compile-time constants)."""
     woop: jnp.ndarray        # [C, 3*tc, 4] VMEM
+    aabb: jnp.ndarray        # [C, 8] cluster world AABBs, SMEM (culling)
     attr: jnp.ndarray        # [C, tc, N_ATTR] slim attrs (cluster-major)
     mat: jnp.ndarray         # [16, M_pad] mat_params transposed, SMEM
     em_rows: jnp.ndarray     # [ET_pad, 24]: p0|e1|e2|ng|cdfg|area|pmf|emid|rad
@@ -256,8 +257,14 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         meta[:n_em, 3:6] = np.asarray(scene.em_radiance)[:n_em]
         meta[:n_em, 6] = np.asarray(scene.em_area)[:n_em]
         meta[n_em:, 0] = 2e9             # never selected by the chain
+    from .pallas_trace import build_cluster_aabbs
+    aabb = build_cluster_aabbs(np.asarray(scene.p0)[:n_real],
+                               np.asarray(scene.e1)[:n_real],
+                               np.asarray(scene.e2)[:n_real],
+                               tc, c_clusters)
     return MegaTables(
         woop=jnp.asarray(woop_cl),
+        aabb=jnp.asarray(aabb),
         attr=jnp.asarray(attr_p),
         mat=jnp.asarray(mat_p),
         em_rows=jnp.asarray(rows),
@@ -279,7 +286,7 @@ MAX_UNROLLED_CLUSTERS = 4    # >4 unrolled cluster traces at block 2048
 
 
 def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
-                  maxt, attr_ref=None, need_uv=True):
+                  maxt, attr_ref=None, need_uv=True, aabb_ref=None):
     """In-kernel closest-hit trace over all clusters for ONE [1, B] ray
     row. woop_ref/attr_ref are VMEM refs ([C, 3tc, 4] and
     [C, tc, N_ATTR]); clusters are loaded per iteration. Small cluster
@@ -372,12 +379,25 @@ def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
         v_best = jnp.zeros((1, b))
 
     if c_clusters <= MAX_UNROLLED_CLUSTERS:
+        # small scenes: unrolled, no culling (the gate would cost more
+        # than it saves at a handful of clusters)
         for c in range(c_clusters):
             t_best, attr_best, u_best, v_best = cluster_step(
                 c, t_best, attr_best, u_best, v_best)
     else:
         carry = tuple(x for x in (t_best, attr_best, u_best, v_best)
                       if x is not None)
+        if aabb_ref is not None:
+            # top-level cluster culling (cf. pallas_trace fused kernel):
+            # slab-test the whole ray row against the cluster AABB and
+            # skip the tc-triangle test when no ray can enter
+            big = jnp.float32(1e30)
+            inv = lambda x: jnp.where(
+                jnp.abs(x) < 1e-12,
+                jnp.where(x >= 0.0, big, -big), 1.0 / x)
+            ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+            far_cap = maxt if maxt is not None else jnp.full_like(mint,
+                                                                  _MISS)
 
         def body(c, carry):
             parts = list(carry) + [None] * (4 - len(carry))
@@ -385,8 +405,30 @@ def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
                 parts = [parts[0], None, None, None]
             elif not need_uv:
                 parts = [parts[0], parts[1], None, None]
-            out = cluster_step(c, *parts)
-            return tuple(x for x in out if x is not None)
+            if aabb_ref is None:
+                out = cluster_step(c, *parts)
+                return tuple(x for x in out if x is not None)
+            t0x = (aabb_ref[c, 0] - ox) * ivx
+            t1x = (aabb_ref[c, 3] - ox) * ivx
+            t0y = (aabb_ref[c, 1] - oy) * ivy
+            t1y = (aabb_ref[c, 4] - oy) * ivy
+            t0z = (aabb_ref[c, 2] - oz) * ivz
+            t1z = (aabb_ref[c, 5] - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.maximum(jnp.minimum(t0z, t1z), mint))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                          jnp.maximum(t0y, t1y)),
+                              jnp.minimum(jnp.maximum(t0z, t1z),
+                                          jnp.minimum(far_cap,
+                                                      parts[0])))
+            enter = jnp.max(jnp.where(near <= far, 1.0, 0.0)) > 0.0
+
+            def test():
+                out = cluster_step(c, *parts)
+                return tuple(x for x in out if x is not None)
+
+            return jax.lax.cond(enter, test, lambda: carry)
 
         carry = jax.lax.fori_loop(0, c_clusters, body, carry)
         parts = list(carry) + [None] * (4 - len(carry))
@@ -408,9 +450,9 @@ def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
 # ---------------------------------------------------------------------------
 
 def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
-                 m_real, et_real, n_em, smooth, woop_ref, attr_ref,
-                 mat_sm, em_sm, em_meta, consts, pixel, samp, seed,
-                 bounce, rows):
+                 m_real, et_real, n_em, smooth, woop_ref, aabb_ref,
+                 attr_ref, mat_sm, em_sm, em_meta, consts, pixel, samp,
+                 seed, bounce, rows):
     """One path-tracer bounce over [S, B] shading blocks.
 
     rows: tuple of 16 [S, B] f32 blocks (o xyz, d xyz, throughput rgb,
@@ -436,7 +478,8 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
             woop_ref, tc, c_clusters,
             ox[s:s + 1], oy[s:s + 1], oz[s:s + 1],
             dx[s:s + 1], dy[s:s + 1], dz[s:s + 1],
-            mint[s:s + 1], None, attr_ref, need_uv=smooth)
+            mint[s:s + 1], None, attr_ref, need_uv=smooth,
+            aabb_ref=aabb_ref)
         t_rows.append(t_s)
         a_rows.append(attr_s)
         u_rows.append(u_s)
@@ -597,7 +640,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
             woop_ref, tc, c_clusters,
             sox[s:s + 1], soy[s:s + 1], soz[s:s + 1],
             ldx[s:s + 1], ldy[s:s + 1], ldz[s:s + 1],
-            smint[s:s + 1], smaxt[s:s + 1], None)
+            smint[s:s + 1], smaxt[s:s + 1], None, aabb_ref=aabb_ref)
         lit_rows.append(t_sh)
     lit = jnp.concatenate(lit_rows, axis=0) >= _MISS           # [S, B]
 
@@ -681,7 +724,8 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
     """Single-bounce kernel (one pallas_call per bounce; kept for
     incremental/debug use — run_path/run_persistent are the fast paths)."""
 
-    def kernel(woop_ref, attr_ref, mat_ref, em_ref, em_meta_ref, pix_ref,
+    def kernel(woop_ref, aabb_ref, attr_ref, mat_ref, em_ref,
+               em_meta_ref, pix_ref,
                samp_ref, meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
@@ -690,9 +734,10 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
             else attr_ref
         new_rows, s_tr, s_sh = _bounce_rows(
             tc, c_clusters, families, rr_depth, max_depth, m_real,
-            et_real, em_count, smooth, woop_h, attr_h, mat_ref, em_ref,
-            em_meta_ref, consts, pix_ref[:], samp_ref[:], meta_ref[0],
-            meta_ref[2], _state_to_rows(st_in_ref[:]))
+            et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
+            mat_ref, em_ref, em_meta_ref, consts, pix_ref[:],
+            samp_ref[:], meta_ref[0], meta_ref[2],
+            _state_to_rows(st_in_ref[:]))
         st_out_ref[:] = jnp.concatenate(list(new_rows) + [s_tr, s_sh],
                                         axis=0)
 
@@ -708,7 +753,8 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
     zero inter-bounce HBM traffic, one dispatch per render pass — and the
     loop exits early once every lane in the block is dead."""
 
-    def kernel(woop_ref, attr_ref, mat_ref, em_ref, em_meta_ref, pix_ref,
+    def kernel(woop_ref, aabb_ref, attr_ref, mat_ref, em_ref,
+               em_meta_ref, pix_ref,
                samp_ref, meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
@@ -731,9 +777,9 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
             i, st, s0, s1 = carry
             new_rows, t0, t1 = _bounce_rows(
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
-                et_real, em_count, smooth, woop_h, attr_h, mat_ref,
-                em_ref, em_meta_ref, consts, pixel, samp, seed, i,
-                _state_to_rows(st))
+                et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
+                mat_ref, em_ref, em_meta_ref, consts, pixel, samp,
+                seed, i, _state_to_rows(st))
             return i + 1, jnp.concatenate(new_rows, axis=0), s0 + t0, \
                 s1 + t1
 
@@ -755,6 +801,7 @@ def _table_specs(tables: MegaTables):
         0 for _ in shape), memory_space=pltpu.VMEM)
     return [
         full(tables.woop.shape),
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # cluster aabbs
         full(tables.attr.shape),
         pl.BlockSpec(memory_space=pltpu.SMEM),    # mat
         pl.BlockSpec(memory_space=pltpu.SMEM),    # em rows
@@ -795,7 +842,9 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
         ],
         out_specs=col(N_OUT),
         out_shape=jax.ShapeDtypeStruct((N_OUT, n), jnp.float32),
-    )(tables.woop, tables.attr, tables.mat, tables.em_rows,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+    )(tables.woop, tables.aabb, tables.attr, tables.mat, tables.em_rows,
       tables.em_meta, pixel, samp, meta_u32,
       jnp.asarray(meta_consts, jnp.float32), state)
     return out
@@ -831,7 +880,9 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
         ],
         out_specs=col(N_OUT),
         out_shape=jax.ShapeDtypeStruct((N_OUT, n), jnp.float32),
-    )(tables.woop, tables.attr, tables.mat, tables.em_rows,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+    )(tables.woop, tables.aabb, tables.attr, tables.mat, tables.em_rows,
       tables.em_meta, pixel, samp, meta_u32,
       jnp.asarray(meta_consts, jnp.float32), state)
     return out
@@ -1041,7 +1092,8 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
     in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
     cam position, [21] tan_half, [22] aspect, [23] width, [24] height."""
 
-    def kernel(woop_ref, attr_ref, mat_ref, em_ref, em_meta_ref, pix_ref,
+    def kernel(woop_ref, aabb_ref, attr_ref, mat_ref, em_ref,
+               em_meta_ref, pix_ref,
                samp_ref, meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
         cam = tuple(consts_ref[9 + i] for i in range(16))
@@ -1086,9 +1138,9 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
             samp = samp0 + done.astype(jnp.int32)
             new16, n_tr, n_sh = _bounce_rows(
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
-                et_real, em_count, smooth, woop_h, attr_h, mat_ref,
-                em_ref, em_meta_ref, consts, pixel, samp, seed, bounce,
-                rows[:16])
+                et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
+                mat_ref, em_ref, em_meta_ref, consts, pixel, samp,
+                seed, bounce, rows[:16])
             was_active = rows[12] > 0.5
             now_active = new16[12] > 0.5
             died = was_active & ~now_active
@@ -1184,7 +1236,9 @@ def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
         ] + [col3],
         out_specs=col3,
         out_shape=jax.ShapeDtypeStruct((N_PSTATE, s, n), jnp.float32),
-    )(tables.woop, tables.attr, tables.mat, tables.em_rows,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+    )(tables.woop, tables.aabb, tables.attr, tables.mat, tables.em_rows,
       tables.em_meta, pixel, samp0, meta_u32,
       jnp.asarray(consts_cam, jnp.float32), state)
     return out
