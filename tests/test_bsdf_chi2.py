@@ -23,6 +23,9 @@ CONFIGS = [
     ("plastic", dict(kind="plastic"), 0.6),
     ("phong", dict(kind="phong", exponent=20.0), 0.7),
     ("roughplastic", dict(kind="roughplastic", alpha=0.3), 0.6),
+    ("aniso_roughdiffuse", dict(kind="aniso_roughdiffuse",
+                                albedo=(0.7,) * 3, moments0=(0.1, -0.05),
+                                moments1=(0.11, 0.05, -0.005)), 0.6),
 ]
 
 
