@@ -50,7 +50,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import (EM_AREA, EM_CONSTANT, MAT_CONDUCTOR,
-                           MAT_DIFFUSE, MAT_ROUGH_CONDUCTOR, SceneData)
+                           MAT_DIELECTRIC, MAT_DIFFUSE,
+                           MAT_ROUGH_CONDUCTOR, SceneData)
+
+# BSDF families implemented by the in-kernel dispatch (_bsdf_sample /
+# _bsdf_eval_pdf); MegaPathTracer.for_scene validates against this
+MEGA_FAMILIES = frozenset(
+    {MAT_DIFFUSE, MAT_CONDUCTOR, MAT_ROUGH_CONDUCTOR, MAT_DIELECTRIC})
 
 _U32 = jnp.uint32
 _MISS = 1e30
@@ -665,8 +671,9 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # ---- BSDF sample ----------------------------------------------------
     ub0, ub1 = _rng2(seed, pixel, dim_base + DIM_BSDF_U2, samp)
     uc0, _ = _rng2(seed, pixel, dim_base + DIM_BSDF_U1, samp)
-    (nwx, nwy, nwz, w_r, w_g, w_b, pdf_b, is_delta) = _bsdf_sample(
-        families, mat_param, mtype, wil_x, wil_y, wil_z, ub0, ub1, uc0)
+    (nwx, nwy, nwz, w_r, w_g, w_b, pdf_b, is_delta, eta_ev) = \
+        _bsdf_sample(families, mat_param, mtype, wil_x, wil_y, wil_z,
+                     ub0, ub1, uc0)
     # to world
     ndx = nwx * sx + nwy * tx_ + nwz * nsx
     ndy = nwx * sy + nwy * ty_ + nwz * nsy
@@ -681,6 +688,10 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
         alive = alive & (depth <= float(max_depth))
 
     # ---- RR --------------------------------------------------------------
+    # eta_scale accumulates the sampled events' relative IOR (identity
+    # except on dielectric refraction), matching the XLA path's
+    # eta_scale_next = eta_scale * bs.eta BEFORE the RR probability
+    eta_scale = jnp.where(hit, eta_scale * eta_ev, eta_scale)
     u_rr, _ = _rng2(seed, pixel, dim_base + DIM_RR, samp)
     tp_max = jnp.maximum(jnp.maximum(tp_r, tp_g), tp_b)
     q = jnp.minimum(tp_max * eta_scale * eta_scale, 0.95)
@@ -965,12 +976,16 @@ def _fresnel_cond(mat_param, ci):
 
 
 def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
-    """Returns (wo_local xyz, weight rgb, pdf, is_delta)."""
+    """Returns (wo_local xyz, weight rgb, pdf, is_delta, eta_event).
+    eta_event is the relative-IOR factor of the sampled event (1 except
+    for dielectric refraction) — multiplies the path's eta_scale for RR
+    (path.cpp:278-289 via integrator/path.py eta_scale_next)."""
     zero = jnp.zeros_like(wix)
     nwx, nwy, nwz = zero, zero, zero + 1.0
     w_r, w_g, w_b = zero, zero, zero
     pdf = zero
     is_delta = zero > 1.0
+    eta_event = zero + 1.0
 
     if MAT_DIFFUSE in families:
         sel = mtype == float(MAT_DIFFUSE)
@@ -1062,7 +1077,49 @@ def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
         w_b = jnp.where(sel, s * fr_b * mat_param(8) * g1o, w_b)
         pdf = jnp.where(sel, s * pdf_c, pdf)
 
-    return nwx, nwy, nwz, w_r, w_g, w_b, pdf, is_delta
+    if MAT_DIELECTRIC in families:
+        # smooth glass: delta reflect/refract, two-sided (mirrors
+        # bsdf.py dielectric_sample / core/fresnel.py fresnel_dielectric;
+        # ref: src/bsdfs/dielectric.cpp:232 radiance-transport eta²)
+        sel = mtype == float(MAT_DIELECTRIC)
+        eta_r = jnp.maximum(mat_param(0), 1e-3)
+        outside = wiz >= 0.0
+        eta_it = jnp.where(outside, eta_r, 1.0 / eta_r)
+        eta_ti = 1.0 / eta_it
+        cos_i = jnp.abs(wiz)
+        sin_t2 = eta_ti * eta_ti * (1.0 - cos_i * cos_i)
+        tir = sin_t2 >= 1.0
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 1e-12))
+        cos_t = jnp.where(tir, 0.0, cos_t)
+        rs = (cos_i - eta_it * cos_t) \
+            / jnp.maximum(cos_i + eta_it * cos_t, 1e-4)
+        rp = (eta_it * cos_i - cos_t) \
+            / jnp.maximum(eta_it * cos_i + cos_t, 1e-4)
+        f = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+        cos_theta_t = jnp.where(tir, 0.0,
+                                jnp.where(outside, -cos_t, cos_t))
+        pick_r = uc < f
+        # refract_local: tangential scale by 1/eta (entering) or eta
+        scale = jnp.where(cos_theta_t < 0.0, 1.0 / eta_r, eta_r)
+        dwx = jnp.where(pick_r, -wix, -scale * wix)
+        dwy = jnp.where(pick_r, -wiy, -scale * wiy)
+        dwz = jnp.where(pick_r, wiz, cos_theta_t)
+        s = sel.astype(jnp.float32)
+        t_fac = eta_ti * eta_ti
+        nwx = jnp.where(sel, dwx, nwx)
+        nwy = jnp.where(sel, dwy, nwy)
+        nwz = jnp.where(sel, dwz, nwz)
+        w_r = jnp.where(sel, s * jnp.where(pick_r, mat_param(1),
+                                           mat_param(4) * t_fac), w_r)
+        w_g = jnp.where(sel, s * jnp.where(pick_r, mat_param(2),
+                                           mat_param(5) * t_fac), w_g)
+        w_b = jnp.where(sel, s * jnp.where(pick_r, mat_param(3),
+                                           mat_param(6) * t_fac), w_b)
+        pdf = jnp.where(sel, jnp.where(pick_r, f, 1.0 - f), pdf)
+        is_delta = is_delta | sel
+        eta_event = jnp.where(sel & ~pick_r, eta_it, eta_event)
+
+    return nwx, nwy, nwz, w_r, w_g, w_b, pdf, is_delta, eta_event
 
 
 # ---------------------------------------------------------------------------

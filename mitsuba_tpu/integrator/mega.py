@@ -1,11 +1,11 @@
 """MegaPathTracer: the fused per-bounce megakernel integrator.
 
 Drop-in replacement for PathTracer on scenes that fit the megakernel's
-VMEM budget and feature subset (single area emitter + optional constant
-env, smooth or flat shading normals, diffuse/conductor/roughconductor,
-no textures, no medium). Construct with `MegaPathTracer.for_scene(scene,
-...)` — the scene tables are packed host-side once and close over the
-jit.
+VMEM budget and feature subset (area emitters + optional constant env,
+smooth or flat shading normals, diffuse/conductor/roughconductor/
+dielectric — accel.megakernel.MEGA_FAMILIES — no textures, no medium).
+Construct with `MegaPathTracer.for_scene(scene, ...)` — the scene
+tables are packed host-side once and close over the jit.
 
 Estimator and RNG streams are identical to PathTracer; tests assert
 lane-level agreement.
@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
-                                MegaTables, N_STATE, build_mega_tables,
-                                run_path)
+                                MEGA_FAMILIES, MegaTables, N_STATE,
+                                build_mega_tables, run_path)
 from ..scene.scene import EM_AREA, EM_CONSTANT, SceneData
 from .path import PathTracer
 
@@ -64,6 +64,12 @@ class MegaPathTracer(PathTracer):
                 env_pmf = float(np.asarray(scene.em_pmf.pmf)[i])
         fams = tuple(sorted(int(x) for x in
                             np.unique(np.asarray(scene.mat_type))))
+        unsupported = set(fams) - MEGA_FAMILIES
+        if unsupported:
+            raise ValueError(
+                f"megakernel BSDF dispatch lacks families {unsupported} "
+                f"(supported: {sorted(MEGA_FAMILIES)}); use PathTracer "
+                "for this scene")
         consts = (float(env[0]), float(env[1]), float(env[2]),
                   float(env_pmf), 0.0, 0.0, 0.0, 0.0, 0.0,
                   0.0, 0.0, 0.0)

@@ -46,6 +46,10 @@ class PathTracer:
     hide_emitters: bool = False
     cluster_size: int = 512
     accel: str = "auto"
+    gate_depth: int = 5             # prefix-gate halvings (N..N/2^depth);
+                                    # 0 disables gating. TPU sweep on the
+                                    # GGX+envmap scene: 0 → 1.72, 3 → 3.74,
+                                    # 5 → 4.05 M rays/s (compile 63/110/124s)
     families: tuple | None = None   # static BSDF-family subset (dispatch)
     sampler: str = "independent"    # sampler/sampler.py kind
     spp: int = 0                    # strata count for stratified/ld samplers
@@ -114,13 +118,26 @@ class PathTracer:
         # dense/CPU path keep the plain loop. This is the wavefront
         # answer to the persistent megakernel's path regeneration.
         compact = self._use_pallas() and scene.n_tris >= 512
+        # Prefix gating (on top of compaction): live lanes form a prefix,
+        # so the whole bounce body only needs to run on the smallest
+        # power-of-two prefix covering them — a lax.switch picks between
+        # N, N/2, N/4, N/8 wide instances of the body and the dead tail
+        # rides through untouched. The trace kernels already skip
+        # all-dead blocks; this extends the saving to the XLA shading
+        # stage (frames, NEE, BSDF math, the compaction gather itself),
+        # which otherwise runs on every lane at every bounce. Values are
+        # unchanged: the same elementwise ops on the same live lanes.
+        gate_sizes = [n]
+        if compact and n >= (1 << 16):
+            gate_sizes = [n >> k for k in range(self.gate_depth + 1)
+                          if (n >> k) > 0]
         pix0 = jnp.broadcast_to(jnp.asarray(pixel_id, jnp.uint32), (n,))
         samp0 = jnp.broadcast_to(
             jnp.asarray(sample_idx, jnp.uint32), (n,))
 
-        def bounce_body(carry, bounce):
+        def step(n_sub, args, bounce):
             (o, d, throughput, L, active, eta_scale, prev_pdf,
-             prev_delta, pixel_id, sample_idx, orig, n_rays) = carry
+             prev_delta, pixel_id, sample_idx, orig, n_rays) = args
 
             its = self._intersect(scene, o, d, ray_mint(o),
                                   live=active if compact else None)
@@ -151,8 +168,11 @@ class PathTracer:
             depth = bounce + 2
 
             # ---- set up shading frame ----------------------------------
+            # (tex_lod is only consulted at bounce 0, before any
+            # compaction has reordered lanes, so the prefix slice is
+            # positionally correct)
             lod0 = None if tex_lod is None else \
-                jnp.where(bounce == 0, tex_lod, 0.0)
+                jnp.where(bounce == 0, tex_lod[:n_sub], 0.0)
             mat = resolve_material(scene, its.mat_id, its.uv,
                                    self.families, lod_extent=lod0)
             frame = Frame.from_normal(its.ns)
@@ -234,8 +254,8 @@ class PathTracer:
                 dead_rank = jnp.cumsum(1 - ai) - (1 - ai)
                 dest = jnp.where(alive, live_rank,
                                  jnp.sum(ai) + dead_rank)
-                src_idx = jnp.zeros((n,), jnp.int32).at[dest].set(
-                    jnp.arange(n, dtype=jnp.int32))
+                src_idx = jnp.zeros((n_sub,), jnp.int32).at[dest].set(
+                    jnp.arange(n_sub, dtype=jnp.int32))
                 # ONE [N, 19] row gather instead of 11 array gathers:
                 # TPU gather cost is per-INDEX, not per-byte (profiled
                 # ~190 ms per [1M] gather regardless of row width), so
@@ -261,7 +281,32 @@ class PathTracer:
                        as_u(packed[:, 16:17]), as_u(packed[:, 17:18]),
                        jax.lax.bitcast_convert_type(
                            packed[:, 18:19][..., 0], jnp.int32))
-            return (out + (n_rays,), None)
+            return out + (n_rays,)
+
+        def bounce_body(carry, bounce):
+            if len(gate_sizes) == 1:
+                return step(n, carry, bounce), None
+            # live lanes are a prefix (invariant: the previous bounce's
+            # partition covered every live lane); pick the narrowest
+            # instance wide enough for all of them
+            live = jnp.sum(carry[4].astype(jnp.int32))
+            idx = jnp.int32(0)
+            for nk in gate_sizes[1:]:
+                idx = idx + (live <= nk).astype(jnp.int32)
+
+            def make_branch(nk):
+                def branch(c):
+                    pre = tuple(a[:nk] for a in c[:11]) + (c[11],)
+                    out = step(nk, pre, bounce)
+                    if nk == n:
+                        return out
+                    return tuple(
+                        jnp.concatenate([out[i], c[i][nk:]], axis=0)
+                        for i in range(11)) + (out[11],)
+                return branch
+
+            return jax.lax.switch(
+                idx, [make_branch(nk) for nk in gate_sizes], carry), None
 
         n_bounces = self.max_depth if self.max_depth > 0 else 32
         # Derive carry inits from `o` so they inherit its varying-axes

@@ -138,3 +138,57 @@ def test_mega_multi_emitter_env():
     rel = np.abs(L_ref - L_m) / np.maximum(L_ref, 1e-3)
     assert (rel > 1e-2).mean() < 0.02, (rel > 1e-2).mean()
     assert abs(L_ref.mean() - L_m.mean()) / L_ref.mean() < 5e-3
+
+
+def test_mega_dielectric_matches_path():
+    """Smooth-dielectric family in the fused kernel (delta reflect/
+    refract, radiance-transport eta², eta_scale-aware RR) vs the XLA
+    wavefront path tracer — same RNG streams, lane-level agreement."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import compile_scene
+    from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
+
+    d = cornell_box()
+    glass = d.add_material(kind="dielectric", int_ior=1.5)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([0.68, 0.45, 0.66])
+                @ tfm.scale([0.15] * 3),
+                material=glass)
+    scene = compile_scene(d, cluster_size=64)
+    cam = cornell_camera(64, 64)
+    n = 64 * 64
+    px = jnp.arange(n, dtype=jnp.uint32)
+    pos = jnp.stack([(px % 64).astype(jnp.float32) + 0.5,
+                     (px // 64).astype(jnp.float32) + 0.5], -1)
+    o, dv = cam.sample_ray(pos)
+    ref = PathTracer(max_depth=8, cluster_size=64).specialized_for(scene)
+    mega = MegaPathTracer.for_scene(scene, max_depth=8)
+    L_ref = np.asarray(jax.jit(
+        lambda: ref.li(scene, o, dv, jnp.uint32(5), px, 0))())
+    L_m = np.asarray(jax.jit(
+        lambda: mega.li(scene, o, dv, jnp.uint32(5), px, 0))())
+    assert np.isfinite(L_m).all()
+    rel = np.abs(L_ref - L_m) / np.maximum(L_ref, 1e-3)
+    # tie-break lanes + grazing refractions may diverge; the bulk must
+    # agree lane-for-lane and the estimate must match in the mean
+    assert (rel > 1e-2).mean() < 0.03, (rel > 1e-2).mean()
+    assert abs(L_ref.mean() - L_m.mean()) / L_ref.mean() < 1e-2
+
+
+def test_mega_rejects_unsupported_family():
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.scene.builder import compile_scene
+    from mitsuba_tpu.scene.presets import cornell_box
+
+    d = cornell_box()
+    pl = d.add_material(kind="plastic")
+    from mitsuba_tpu.scene import shapes
+    d.add_shape(shapes.sphere(4, 8), material=pl)
+    scene = compile_scene(d, cluster_size=64)
+    with pytest.raises(ValueError, match="families"):
+        MegaPathTracer.for_scene(scene)

@@ -97,3 +97,50 @@ def test_compacted_path_matches_dense():
     # diverge (different winning triangle → different shading path)
     close = np.isclose(l_p, l_d, rtol=1e-3, atol=1e-4).all(-1)
     assert close.mean() > 0.995, close.mean()
+
+
+def test_prefix_gated_path_matches_ungated():
+    """Prefix gating (path.py gate_sizes): at n >= 2^16 the bounce body
+    runs on the narrowest live prefix via lax.switch. Values must be
+    IDENTICAL to the ungated path — verified by rendering the same
+    (pixel, sample) lanes in sub-threshold chunks (the counter RNG keys
+    every draw by lane identity, not position, so chunking is exact)."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    white = d.add_material(kind="diffuse", albedo=(0.7, 0.7, 0.7))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=white)
+    d.add_shape(shapes.sphere(16, 32), material=white)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 3, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([1.5] * 3),
+                material=white, radiance=(10.0, 9.0, 8.0))
+    scene = compile_scene(d, cluster_size=64)
+
+    n = 1 << 16                        # gating engages at this size
+    rs = np.random.RandomState(2)
+    o = jnp.asarray(np.tile([[0.0, 1.0, 5.0]], (n, 1)), jnp.float32)
+    dirs = rs.randn(n, 3) * [0.4, 0.4, 0.2] + [0, -0.1, -1.0]
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dv = jnp.asarray(dirs, jnp.float32)
+    px = jnp.arange(n, dtype=jnp.uint32)
+
+    pt = PathTracer(max_depth=5, accel="pallas").specialized_for(scene)
+    l_gated = np.asarray(jax.jit(pt.li)(scene, o, dv, jnp.uint32(3),
+                                        px, 0))
+    chunk = 8192                       # < 2^16: ungated
+    l_ref = np.concatenate([
+        np.asarray(jax.jit(pt.li)(scene, o[i:i + chunk],
+                                  dv[i:i + chunk], jnp.uint32(3),
+                                  px[i:i + chunk], 0))
+        for i in range(0, n, chunk)])
+    assert np.allclose(l_gated, l_ref, rtol=1e-5, atol=1e-6), \
+        np.abs(l_gated - l_ref).max()
