@@ -105,6 +105,28 @@ def _render_one(args, scene_path: str) -> int:
         scene = replicate_scene(scene, mesh)
         log.info("Sharding over %d devices", mesh.devices.size)
 
+    # TPU fast path: a plain PathTracer on a megakernel-compatible scene
+    # renders through the persistent path-regeneration kernel (~10-100x
+    # the wavefront throughput on small scenes; estimator and RNG
+    # streams identical — tests/test_mega_tpu.py)
+    mega = None
+    if (mesh is None and type(integ).__name__ == "PathTracer"
+            and loaded.sampler == "independent"
+            and not getattr(integ, "hide_emitters", False)):
+        import jax
+        if jax.default_backend() != "cpu":
+            from .integrator.mega import (MegaPathTracer,
+                                          render_persistent)
+            ok, why = MegaPathTracer.supports(scene, loaded.camera,
+                                              loaded.film)
+            if ok:
+                mega = MegaPathTracer.for_scene(
+                    scene, max_depth=integ.max_depth,
+                    rr_depth=integ.rr_depth)
+                log.info("Using the fused persistent megakernel")
+            else:
+                log.info("Megakernel fast path unavailable (%s)", why)
+
     t1 = time.time()
     # progressive rendering: pass-sized chunks so -r can flush partials
     chunk = max(1, min(spp, 8)) if args.refresh > 0 else spp
@@ -119,6 +141,11 @@ def _render_one(args, scene_path: str) -> int:
             img = np.asarray(render_sharded(
                 scene, loaded.camera, loaded.film, integ, this,
                 args.seed + done, mesh))
+        elif mega is not None:
+            img, n_rays = render_persistent(mega, loaded.camera, this,
+                                            args.seed + done)
+            img = np.asarray(img)
+            counter_add("Rays traced", int(n_rays))
         else:
             img = np.asarray(render(scene, loaded.camera, loaded.film,
                                     integ, this, args.seed + done))

@@ -37,6 +37,40 @@ class MegaPathTracer(PathTracer):
     sublanes: int = DEF_SUBLANES  # S rows per persistent shading block
 
     @staticmethod
+    def supports(scene: SceneData, camera=None, film=None
+                 ) -> tuple[bool, str]:
+        """(ok, reason): can this scene/camera/film run on the fused
+        megakernel with results matching PathTracer + box-filter Film?
+        Used by the CLI to auto-select the fast path on TPU."""
+        from ..sensor.sensor import PerspectiveCamera
+        em_types = np.asarray(scene.em_type)
+        n_const = int((em_types == EM_CONSTANT).sum())
+        if n_const > 1 or int((em_types == EM_AREA).sum()) + n_const \
+                != len(em_types):
+            return False, "non-area/constant emitter"
+        fams = set(int(x) for x in np.unique(np.asarray(scene.mat_type)))
+        if fams - MEGA_FAMILIES:
+            return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
+        if bool(np.asarray(scene.has_medium)):
+            return False, "participating medium"
+        mp = np.asarray(scene.mat_params)
+        if (np.asarray(scene.mat_tex) >= 0).any() or \
+                (mp[:, 16] >= 0).any():
+            return False, "textured material"
+        areas = np.asarray(scene.tri_area)
+        n_real = int(np.max(np.nonzero(areas > 0)[0]) + 1) if \
+            (areas > 0).any() else 1
+        if n_real > 32768:
+            return False, f"{n_real} triangles exceed the VMEM budget"
+        if camera is not None:
+            if not isinstance(camera, PerspectiveCamera) or \
+                    getattr(camera, "aperture_radius", 0.0) > 0.0:
+                return False, "non-pinhole camera"
+        if film is not None and film.filter_name != "box":
+            return False, f"{film.filter_name} reconstruction filter"
+        return True, ""
+
+    @staticmethod
     def for_scene(scene: SceneData, max_depth: int = 8, rr_depth: int = 5,
                   block: int = DEF_BLOCK,
                   pblock: int = DEF_PBLOCK,
