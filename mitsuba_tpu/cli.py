@@ -38,6 +38,18 @@ def main(argv=None) -> int:
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+
+    # Honor JAX_PLATFORMS=cpu even when the image's sitecustomize has
+    # force-flipped jax_platforms to a TPU plugin (same dance as
+    # tests/conftest.py) — must happen before any backend instantiates.
+    import os
+
+    import jax
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     if args.output is not None and len(args.scene) > 1:
         ap.error("-o is only valid with a single scene")
     rc = 0
@@ -166,7 +178,10 @@ def _render_one(args, scene_path: str) -> int:
         from .io.image import write_exr
         write_exr(out, final, annotations={
             "renderTime": float(render_s), "spp": int(spp),
-            "generatedBy": "mitsuba_tpu"})
+            "generatedBy": "mitsuba_tpu"},
+            compression=loaded.film.compression,
+            pixel_type="half"
+            if loaded.film.component_format == "float16" else "float")
     else:
         write_image(out, final)
     counter_add("Render time (s)", render_s)

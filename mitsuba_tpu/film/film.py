@@ -25,6 +25,11 @@ class Film:
     filter_name: str = "box"
     banner: bool = False    # stamp the corner banner at develop time
                             # (ref: hdrfilm.cpp "banner" property)
+    component_format: str = "float32"   # EXR channel type: "float16"
+                                        # (OpenEXR default) or "float32"
+                                        # (ref: hdrfilm componentFormat)
+    compression: str = "zip"            # EXR chunk compression:
+                                        # zip/zips/none (io/image.py)
 
     @property
     def ftype(self):

@@ -50,6 +50,17 @@ class PathTracer:
                                     # 0 disables gating. TPU sweep on the
                                     # GGX+envmap scene: 0 → 1.72, 3 → 3.74,
                                     # 5 → 4.05 M rays/s (compile 63/110/124s)
+    sort_rays: str = "auto"         # "on"/"off"/"auto": order live lanes
+                                    # by (origin cluster, direction octant)
+                                    # inside the compaction permutation so
+                                    # trace blocks are spatially coherent
+                                    # and the per-block cluster-AABB gate
+                                    # fires; auto = on for ≥32 clusters
+    fused_shade: str = "off"        # "on"/"off"/"auto": run the shading
+                                    # tail (NEE eval → shadow trace → BSDF
+                                    # sample → RR) as one Pallas kernel
+                                    # (accel/shade_kernel.py); auto = on
+                                    # when the scene's families fit
     families: tuple | None = None   # static BSDF-family subset (dispatch)
     sampler: str = "independent"    # sampler/sampler.py kind
     spp: int = 0                    # strata count for stratified/ld samplers
@@ -90,6 +101,68 @@ class PathTracer:
         return ray_test(scene, o, d, mint, maxt,
                         cluster_size=self.cluster_size)
 
+    def _shade_xla(self, scene, its, frame, mat, wi_local, d, throughput,
+                   L, ds, hit, active, nee_allowed, depth, eta_scale,
+                   seed, pixel_id, sample_idx, bounce, compact, orig):
+        """XLA shading tail: NEE eval + shadow trace + MIS + BSDF sample
+        + RR (the general path; the fused Pallas kernel replaces this for
+        supported family subsets)."""
+        wo_nee = Frame.to_local(frame, ds.d)
+        f_nee = eval_bsdf_ex(mat, wi_local, wo_nee, self.families)
+        contributes = nee_allowed & (ds.pdf > 0) & (
+            jnp.any(f_nee > 0, axis=-1))
+        # shadow ray: [ε, dist·(1-ShadowEpsilon)] (scene.cpp:846)
+        so = offset_ray_origin(its.p, its.ng, ds.d)
+        smax = ds.dist * (1.0 - SHADOW_EPSILON)
+        occluded = self._occluded(
+            scene, so, ds.d, ray_mint(so), smax,
+            live=contributes if compact else None)
+        contributes = contributes & ~occluded
+        bsdf_pdf_nee = pdf_bsdf_ex(mat, wi_local, wo_nee,
+                                   self.families)
+        w_nee = jnp.where(ds.is_delta, 1.0,
+                          mis_power(ds.pdf, bsdf_pdf_nee))
+        L = L + jnp.where(contributes[..., None],
+                          throughput * ds.value * f_nee
+                          * w_nee[..., None], 0.0)
+
+        # ---- BSDF sampling → next ray ------------------------------
+        u2 = self._d2(seed, pixel_id, sample_idx,
+                      bounce_dim(bounce, DIM_BSDF_U2))
+        u1 = self._d1(seed, pixel_id, sample_idx,
+                      bounce_dim(bounce, DIM_BSDF_U1))
+        bs = sample_bsdf_ex(mat, wi_local, u2, u1, self.families)
+        d_next = Frame.to_world(frame, bs.wo)
+        o_next = offset_ray_origin(its.p, its.ng, d_next)
+        bsdf_ok = bs.pdf > 0
+        throughput_next = throughput * bs.weight
+        alive = hit & bsdf_ok & jnp.any(throughput_next > 0, axis=-1)
+
+        # depth cutoff: stop when depth ≥ max_depth (path.cpp:157-166)
+        if self.max_depth > 0:
+            alive = alive & (depth <= self.max_depth)
+
+        # ---- Russian roulette (path.cpp:278-289) -------------------
+        eta_scale_next = eta_scale * bs.eta
+        q = jnp.minimum(
+            jnp.max(throughput_next, axis=-1) * eta_scale_next ** 2,
+            0.95)
+        u_rr = self._d1(seed, pixel_id, sample_idx,
+                        bounce_dim(bounce, DIM_RR))
+        do_rr = depth >= self.rr_depth
+        rr_continue = ~do_rr | (u_rr < q)
+        throughput_next = jnp.where(
+            (do_rr & rr_continue)[..., None],
+            throughput_next / jnp.maximum(q, 1e-6)[..., None],
+            throughput_next)
+        alive = alive & rr_continue
+
+        return (o_next, jnp.where(alive[..., None], d_next, d),
+                jnp.where(alive[..., None], throughput_next, 0.0),
+                L, alive, eta_scale_next,
+                jnp.where(bs.is_delta, 1.0, bs.pdf),
+                bs.is_delta, pixel_id, sample_idx, orig)
+
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
         """Radiance along primary rays (o, d) [N, 3].
 
@@ -118,6 +191,21 @@ class PathTracer:
         # dense/CPU path keep the plain loop. This is the wavefront
         # answer to the persistent megakernel's path regeneration.
         compact = self._use_pallas() and scene.n_tris >= 512
+        tc_pallas = scene.woop_clusters.shape[1] // 3 \
+            if scene.woop_clusters is not None else 64
+        n_clusters = scene.woop_clusters.shape[0] \
+            if scene.woop_clusters is not None else 1
+        sort_lanes = compact and (
+            self.sort_rays == "on"
+            or (self.sort_rays == "auto" and n_clusters >= 32))
+        if self.fused_shade == "off" or not self._use_pallas():
+            use_fused_shade = False
+        else:
+            from ..accel.shade_kernel import supports
+            use_fused_shade = supports(scene, self.families, self.sampler)
+            if self.fused_shade == "on":
+                assert use_fused_shade, \
+                    "fused_shade=on but scene/config unsupported"
         # Prefix gating (on top of compaction): live lanes form a prefix,
         # so the whole bounce body only needs to run on the smallest
         # power-of-two prefix covering them — a lax.switch picks between
@@ -188,74 +276,58 @@ class PathTracer:
             u_pos = self._d2(seed, pixel_id, sample_idx,
                              bounce_dim(bounce, DIM_NEE_POS))
             ds = sample_direct(scene, its.p, u_sel, u_pos)
-            wo_nee = Frame.to_local(frame, ds.d)
-            f_nee = eval_bsdf_ex(mat, wi_local, wo_nee, self.families)
-            contributes = nee_allowed & (ds.pdf > 0) & (
-                jnp.any(f_nee > 0, axis=-1))
-            # shadow ray: [ε, dist·(1-ShadowEpsilon)] (scene.cpp:846)
-            so = offset_ray_origin(its.p, its.ng, ds.d)
-            smax = ds.dist * (1.0 - SHADOW_EPSILON)
-            occluded = self._occluded(
-                scene, so, ds.d, ray_mint(so), smax,
-                live=contributes if compact else None)
-            contributes = contributes & ~occluded
-            bsdf_pdf_nee = pdf_bsdf_ex(mat, wi_local, wo_nee,
-                                       self.families)
-            w_nee = jnp.where(ds.is_delta, 1.0,
-                              mis_power(ds.pdf, bsdf_pdf_nee))
-            L = L + jnp.where(contributes[..., None],
-                              throughput * ds.value * f_nee
-                              * w_nee[..., None], 0.0)
-
-            # ---- BSDF sampling → next ray ------------------------------
-            u2 = self._d2(seed, pixel_id, sample_idx,
-                          bounce_dim(bounce, DIM_BSDF_U2))
-            u1 = self._d1(seed, pixel_id, sample_idx,
-                          bounce_dim(bounce, DIM_BSDF_U1))
-            bs = sample_bsdf_ex(mat, wi_local, u2, u1, self.families)
-            d_next = Frame.to_world(frame, bs.wo)
-            o_next = offset_ray_origin(its.p, its.ng, d_next)
-            bsdf_ok = bs.pdf > 0
-            throughput_next = throughput * bs.weight
-            alive = hit & bsdf_ok & jnp.any(throughput_next > 0, axis=-1)
-
-            # depth cutoff: stop when depth ≥ max_depth (path.cpp:157-166)
-            if self.max_depth > 0:
-                alive = alive & (depth <= self.max_depth)
-
-            # ---- Russian roulette (path.cpp:278-289) -------------------
-            eta_scale_next = eta_scale * bs.eta
-            q = jnp.minimum(
-                jnp.max(throughput_next, axis=-1) * eta_scale_next ** 2,
-                0.95)
-            u_rr = self._d1(seed, pixel_id, sample_idx,
-                            bounce_dim(bounce, DIM_RR))
-            do_rr = depth >= self.rr_depth
-            rr_continue = ~do_rr | (u_rr < q)
-            throughput_next = jnp.where(
-                (do_rr & rr_continue)[..., None],
-                throughput_next / jnp.maximum(q, 1e-6)[..., None],
-                throughput_next)
-            alive = alive & rr_continue
-
             n_rays = (n_rays + jnp.sum(active.astype(jnp.uint32))
                       + jnp.sum((nee_allowed & (ds.pdf > 0))
                                 .astype(jnp.uint32)))
-
-            out = (o_next, jnp.where(alive[..., None], d_next, d),
-                   jnp.where(alive[..., None], throughput_next, 0.0),
-                   L, alive, eta_scale_next,
-                   jnp.where(bs.is_delta, 1.0, bs.pdf),
-                   bs.is_delta, pixel_id, sample_idx, orig)
+            if use_fused_shade:
+                # one Pallas program for the whole shading tail: NEE
+                # BSDF eval, shadow trace, MIS, BSDF sampling, RR
+                # (accel/shade_kernel.py; RNG dims identical to below)
+                from ..accel.shade_kernel import fused_shade
+                (o_next, d_sel, tp_sel, L, alive, prev_pdf_n,
+                 prev_delta_n, eta_scale_next) = fused_shade(
+                    scene, its, frame, mat, d, throughput, L, ds,
+                    active, eta_scale, seed, pixel_id, sample_idx,
+                    bounce, self.families, self.rr_depth,
+                    self.max_depth)
+                out = (o_next, d_sel, tp_sel, L, alive, eta_scale_next,
+                       prev_pdf_n, prev_delta_n, pixel_id, sample_idx,
+                       orig)
+            else:
+                out = self._shade_xla(
+                    scene, its, frame, mat, wi_local, d, throughput, L,
+                    ds, hit, active, nee_allowed, depth, eta_scale,
+                    seed, pixel_id, sample_idx, bounce, compact, orig)
             if compact:
-                # stable partition: live-lane prefix, dead-lane suffix
-                ai = alive.astype(jnp.int32)
-                live_rank = jnp.cumsum(ai) - ai
-                dead_rank = jnp.cumsum(1 - ai) - (1 - ai)
-                dest = jnp.where(alive, live_rank,
-                                 jnp.sum(ai) + dead_rank)
-                src_idx = jnp.zeros((n_sub,), jnp.int32).at[dest].set(
-                    jnp.arange(n_sub, dtype=jnp.int32))
+                if sort_lanes:
+                    # coherence sort: live lanes ordered by (origin
+                    # cluster, direction octant), dead lanes to the tail
+                    # (keeps the prefix-gate invariant). Cluster ids are
+                    # Morton-ordered (builder), so nearby ids = nearby
+                    # space: consecutive trace blocks then see rays with
+                    # tight origins, and the fused kernel's per-block
+                    # cluster-AABB slab gate can actually reject
+                    # clusters (incoherent blocks almost never can).
+                    # Same estimator, same per-lane values — the RNG is
+                    # keyed by (pixel, sample) ids that ride along.
+                    alive_o = out[4]
+                    clus = (jnp.where(alive_o, its.tri_id, 0)
+                            // tc_pallas).astype(jnp.uint32)
+                    octant = ((out[1][:, 0] < 0).astype(jnp.uint32) * 4
+                              + (out[1][:, 1] < 0).astype(jnp.uint32) * 2
+                              + (out[1][:, 2] < 0).astype(jnp.uint32))
+                    key = jnp.where(alive_o, (clus << 3) | octant,
+                                    jnp.uint32(0xFFFFFFFF))
+                    src_idx = jnp.argsort(key).astype(jnp.int32)
+                else:
+                    # stable partition: live-lane prefix, dead-lane suffix
+                    ai = out[4].astype(jnp.int32)
+                    live_rank = jnp.cumsum(ai) - ai
+                    dead_rank = jnp.cumsum(1 - ai) - (1 - ai)
+                    dest = jnp.where(out[4], live_rank,
+                                     jnp.sum(ai) + dead_rank)
+                    src_idx = jnp.zeros((n_sub,), jnp.int32).at[dest].set(
+                        jnp.arange(n_sub, dtype=jnp.int32))
                 # ONE [N, 19] row gather instead of 11 array gathers:
                 # TPU gather cost is per-INDEX, not per-byte (profiled
                 # ~190 ms per [1M] gather regardless of row width), so

@@ -1,24 +1,82 @@
-"""Image I/O: EXR (native minimal writer/reader), PFM, NPY, PNG/JPG via PIL.
+"""Image I/O: EXR (self-contained scanline codec: none/ZIPS/ZIP
+compression, HALF/FLOAT/UINT channels), PFM, NPY, PNG/JPG via PIL.
 
 Counterpart of the reference's Bitmap I/O layer (ref: include/mitsuba/core/
 bitmap.h:182-261, src/libcore/bitmap.cpp) minus the exotic formats. The EXR
-codec is a self-contained implementation of the uncompressed FLOAT scanline
-subset — enough for HDR output and round-tripping our own files without an
-OpenEXR dependency.
+codec implements the scanline subset without an OpenEXR dependency: ZIP
+chunk transforms (reorder + delta predictor + zlib) and half conversion run
+in the native C++ module (native/mitsuba_native.cpp) with numpy fallbacks.
 """
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 _EXR_MAGIC = 20000630
+# EXR compression codes (file-format spec)
+_EXR_NONE, _EXR_RLE, _EXR_ZIPS, _EXR_ZIP = 0, 1, 2, 3
+_EXR_LINES_PER_CHUNK = {_EXR_NONE: 1, _EXR_ZIPS: 1, _EXR_ZIP: 16}
+_EXR_PIX_SIZE = {0: 4, 1: 2, 2: 4}          # UINT, HALF, FLOAT
+
+
+def _exr_unzip(src: bytes, raw_size: int) -> np.ndarray:
+    """One ZIP/ZIPS chunk → raw bytes (native fast path, numpy fallback)."""
+    from .. import native
+    if native.available():
+        return native.exr_zip_uncompress(src, raw_size)
+    if len(src) == raw_size:                 # stored raw (incompressible)
+        return np.frombuffer(src, np.uint8)
+    buf = np.frombuffer(zlib.decompress(src), np.uint8)
+    if buf.size != raw_size:
+        raise ValueError("corrupt EXR ZIP chunk")
+    # undo delta predictor: out[i] = out[i-1] + buf[i] - 128 (mod 256)
+    d = buf.astype(np.int64)
+    d[1:] -= 128
+    buf = (np.cumsum(d) & 0xFF).astype(np.uint8)
+    # un-reorder: interleave halves
+    out = np.empty(raw_size, np.uint8)
+    half = (raw_size + 1) // 2
+    out[0::2] = buf[:half]
+    out[1::2] = buf[half:]
+    return out
+
+
+def _exr_zip(raw: np.ndarray) -> bytes:
+    """Raw chunk bytes → ZIP-compressed (or verbatim if incompressible)."""
+    from .. import native
+    if native.available():
+        return native.exr_zip_compress(raw)
+    half = (len(raw) + 1) // 2
+    tmp = np.empty_like(raw)
+    tmp[:half] = raw[0::2]
+    tmp[half:] = raw[1::2]
+    d = tmp.astype(np.int16)
+    out = tmp.copy()
+    out[1:] = ((d[1:] - d[:-1] + 128) & 0xFF).astype(np.uint8)
+    comp = zlib.compress(out.tobytes())
+    return comp if len(comp) < len(raw) else raw.tobytes()
+
+
+def _halves_to_float(h: np.ndarray) -> np.ndarray:
+    from .. import native
+    out = native.half_to_float(h) if native.available() else None
+    if out is None:
+        out = h.view(np.float16).astype(np.float32) \
+            if h.dtype == np.uint16 else h.astype(np.float32)
+    return out
 
 
 def write_exr(path: str, img: np.ndarray, annotations: dict | None = None,
-              channel_names: list | None = None):
-    """Write [H, W, C] float32 as uncompressed scanline EXR.
+              channel_names: list | None = None,
+              compression: str = "zip", pixel_type: str = "float"):
+    """Write [H, W, C] as scanline EXR.
 
+    compression: "zip" (16-line zlib chunks, the default — matches the
+    reference's OpenEXR output), "zips" (1-line chunks) or "none".
+    pixel_type: "float" (lossless f32) or "half" (OpenEXR's default
+    16-bit mode, the reference hdrfilm's `componentFormat=float16`).
     annotations: optional {name: str|float|int} written as EXR header
     attributes — the reference's hdrfilm metadata/annotation support
     (ref: hdrfilm.cpp `metadata` properties; renderjob.cpp stores the
@@ -38,6 +96,19 @@ def write_exr(path: str, img: np.ndarray, annotations: dict | None = None,
         names = ["Y"] if c == 1 else ["R", "G", "B", "A"][:c]
     # channels stored alphabetically in EXR
     order = sorted(range(c), key=lambda i: names[i])
+    comp_code = {"none": _EXR_NONE, "zips": _EXR_ZIPS,
+                 "zip": _EXR_ZIP}[compression]
+    ptype = {"float": 2, "half": 1}[pixel_type]
+    psize = _EXR_PIX_SIZE[ptype]
+    if ptype == 1:
+        from .. import native
+        half_img = native.float_to_half(img) if native.available() \
+            else None
+        if half_img is None:
+            half_img = img.astype(np.float16).view(np.uint16)
+        plane = half_img
+    else:
+        plane = img
 
     def attr(name, typ, data):
         return (name.encode() + b"\x00" + typ.encode() + b"\x00"
@@ -45,14 +116,14 @@ def write_exr(path: str, img: np.ndarray, annotations: dict | None = None,
 
     chlist = b""
     for i in order:
-        # name, pixel type (2=float), pLinear+reserved, xSampling, ySampling
+        # name, pixel type, pLinear+reserved, xSampling, ySampling
         chlist += (names[i].encode() + b"\x00"
-                   + struct.pack("<iBBBBii", 2, 0, 0, 0, 0, 1, 1))
+                   + struct.pack("<iBBBBii", ptype, 0, 0, 0, 0, 1, 1))
     chlist += b"\x00"
 
     header = b""
     header += attr("channels", "chlist", chlist)
-    header += attr("compression", "compression", b"\x00")  # none
+    header += attr("compression", "compression", bytes([comp_code]))
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header += attr("dataWindow", "box2i", box)
     header += attr("displayWindow", "box2i", box)
@@ -70,29 +141,43 @@ def write_exr(path: str, img: np.ndarray, annotations: dict | None = None,
             header += attr(k, "string", sv)
     header += b"\x00"
 
+    lpc = _EXR_LINES_PER_CHUNK[comp_code]
+    n_chunks = -(-h // lpc)
+    # [H, C, W] channel-major per scanline (the EXR chunk layout), with
+    # channels already in alphabetical storage order
+    planes = np.ascontiguousarray(
+        plane.transpose(0, 2, 1)[:, order, :]).view(np.uint8)
+    chunks = []
+    for ci in range(n_chunks):
+        y0 = ci * lpc
+        ny = min(lpc, h - y0)
+        raw = planes[y0:y0 + ny].reshape(-1)
+        data = raw.tobytes() if comp_code == _EXR_NONE else _exr_zip(raw)
+        chunks.append(struct.pack("<ii", y0, len(data)) + data)
+
     with open(path, "wb") as f:
         f.write(struct.pack("<ii", _EXR_MAGIC, 2))
         f.write(header)
-        # scanline offset table
-        table_pos = f.tell()
-        data_start = table_pos + 8 * h
-        line_bytes = 8 + 4 * w * c
-        offsets = [data_start + y * line_bytes for y in range(h)]
-        f.write(struct.pack(f"<{h}Q", *offsets))
-        for y in range(h):
-            f.write(struct.pack("<ii", y, 4 * w * c))
-            for i in order:
-                f.write(img[y, :, i].tobytes())
+        # chunk offset table
+        pos = f.tell() + 8 * n_chunks
+        offsets = []
+        for ch in chunks:
+            offsets.append(pos)
+            pos += len(ch)
+        f.write(struct.pack(f"<{n_chunks}Q", *offsets))
+        for ch in chunks:
+            f.write(ch)
 
 
 def read_exr(path: str) -> np.ndarray:
-    """Read an uncompressed scanline FLOAT EXR written by write_exr."""
+    """Read a scanline EXR (compression none/ZIPS/ZIP; channel types
+    HALF/FLOAT/UINT, returned as float32)."""
     with open(path, "rb") as f:
         data = f.read()
     magic, _version = struct.unpack_from("<ii", data, 0)
     assert magic == _EXR_MAGIC, "not an EXR file"
     pos = 8
-    channels = []
+    channels = []            # (name, ptype)
     dw = None
     compression = 0
     while data[pos] != 0:
@@ -108,30 +193,53 @@ def read_exr(path: str) -> np.ndarray:
                 ne = payload.index(b"\x00", p)
                 cname = payload[p:ne].decode()
                 (ptype,) = struct.unpack_from("<i", payload, ne + 1)
-                assert ptype == 2, "only FLOAT channels supported"
-                channels.append(cname)
+                assert ptype in (0, 1, 2), f"bad channel type {ptype}"
+                channels.append((cname, ptype))
                 p = ne + 1 + 16
         elif name == "dataWindow":
             dw = struct.unpack("<iiii", payload)
         elif name == "compression":
             compression = payload[0]
-    assert compression == 0, "only uncompressed EXR supported"
+    assert compression in _EXR_LINES_PER_CHUNK, \
+        f"unsupported EXR compression {compression} (none/ZIPS/ZIP only)"
     pos += 1
     w = dw[2] - dw[0] + 1
     h = dw[3] - dw[1] + 1
     c = len(channels)
-    pos += 8 * h  # skip offset table
+    lpc = _EXR_LINES_PER_CHUNK[compression]
+    n_chunks = -(-h // lpc)
+    pos += 8 * n_chunks  # skip offset table
+    line_bytes = sum(w * _EXR_PIX_SIZE[pt] for _, pt in channels)
     img = np.zeros((h, w, c), np.float32)
-    for y in range(h):
-        _, nb = struct.unpack_from("<ii", data, pos)
+    for _ in range(n_chunks):
+        y0, nb = struct.unpack_from("<ii", data, pos)
+        y0 -= dw[1]
         pos += 8
-        for i in range(c):
-            img[y, :, i] = np.frombuffer(data, np.float32, w, pos)
-            pos += 4 * w
+        ny = min(lpc, h - y0)
+        raw_size = ny * line_bytes
+        if compression == _EXR_NONE:
+            raw = np.frombuffer(data, np.uint8, raw_size, pos)
+        else:
+            raw = _exr_unzip(data[pos:pos + nb], raw_size)
+        pos += nb
+        off = 0
+        for dy in range(ny):
+            for i, (_, pt) in enumerate(channels):
+                n = w * _EXR_PIX_SIZE[pt]
+                span = raw[off:off + n]
+                if pt == 2:
+                    img[y0 + dy, :, i] = span.view(np.float32)
+                elif pt == 1:
+                    img[y0 + dy, :, i] = _halves_to_float(
+                        span.view(np.uint16))
+                else:
+                    img[y0 + dy, :, i] = span.view(np.uint32)
+                off += n
     # reorder alphabetical → RGB(A)
+    names = [n for n, _ in channels]
     want = ["R", "G", "B", "A"][:c] if c > 1 else ["Y"]
-    if set(want) == set(channels):
-        img = img[:, :, [channels.index(n) for n in want]]
+    if set(want) == set(names):
+        img = img[:, :, [names.index(n) for n in want]]
     return img
 
 

@@ -28,10 +28,11 @@ def _build() -> str | None:
     # on bitwise-IEEE arithmetic parity with the Python fallback.
     flags = ["-O3", "-march=native", "-ffp-contract=off", "-shared",
              "-fPIC"]
+    libs = ["-lz"]          # must follow the source on the command line
     try:
         with open(_SRC, "rb") as f:
             tag = hashlib.sha256(f.read()
-                                 + " ".join(flags).encode()
+                                 + " ".join(flags + libs).encode()
                                  ).hexdigest()[:16]
     except OSError:
         return None
@@ -39,7 +40,7 @@ def _build() -> str | None:
     if os.path.exists(so):
         return so
     tmp = so + f".tmp{os.getpid()}"
-    cmd = ["g++", *flags, "-o", tmp, _SRC]
+    cmd = ["g++", *flags, "-o", tmp, _SRC, *libs]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)            # atomic vs concurrent builders
@@ -90,6 +91,18 @@ def _load():
                                     c_i32, c_i32, c_i32, p(c_i64),
                                     p(c_i64)]
     lib.ply_parse_faces.restype = c_i64
+    lib.exr_zip_uncompress.argtypes = [p(ctypes.c_uint8), c_i64,
+                                       p(ctypes.c_uint8), c_i64]
+    lib.exr_zip_uncompress.restype = c_i32
+    lib.exr_zip_compress.argtypes = [p(ctypes.c_uint8), c_i64,
+                                     p(ctypes.c_uint8)]
+    lib.exr_zip_compress.restype = c_i64
+    lib.half_to_float.argtypes = [p(ctypes.c_uint16), c_i64,
+                                  p(ctypes.c_float)]
+    lib.half_to_float.restype = None
+    lib.float_to_half.argtypes = [p(ctypes.c_float), c_i64,
+                                  p(ctypes.c_uint16)]
+    lib.float_to_half.restype = None
     _lib = lib
     return _lib
 
@@ -193,6 +206,65 @@ def ply_parse_faces(data: bytes, count: int, count_size: int,
                         _ptr(out, ctypes.c_int64),
                         _ptr(consumed, ctypes.c_int64))
     return out[:int(n)], int(consumed[0])
+
+
+# ---------------------------------------------------------------------------
+# OpenEXR ZIP chunks + half conversion
+# ---------------------------------------------------------------------------
+
+def exr_zip_uncompress(src: bytes, raw_size: int) -> np.ndarray | None:
+    """Decode one EXR ZIP/ZIPS chunk → uint8 array of raw_size bytes.
+    None if the native lib is unavailable; raises on corrupt data."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(src, np.uint8)
+    out = np.zeros(raw_size, np.uint8)
+    rc = lib.exr_zip_uncompress(_ptr(buf, ctypes.c_uint8), len(src),
+                                _ptr(out, ctypes.c_uint8), raw_size)
+    if rc != 0:
+        raise ValueError(f"corrupt EXR ZIP chunk (rc={rc})")
+    return out
+
+
+def exr_zip_compress(raw: np.ndarray) -> bytes | None:
+    """Encode one EXR ZIP/ZIPS chunk. Returns the compressed bytes, or
+    the raw bytes verbatim when incompressible (per the EXR spec), or
+    None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    out = np.zeros(len(raw) + 1024, np.uint8)
+    n = lib.exr_zip_compress(_ptr(raw, ctypes.c_uint8), len(raw),
+                             _ptr(out, ctypes.c_uint8))
+    if n < 0:
+        raise ValueError("EXR ZIP compression failed")
+    if n == len(raw):
+        return raw.tobytes()
+    return out[:n].tobytes()
+
+
+def half_to_float(h: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(h, np.uint16)
+    out = np.zeros(h.shape, np.float32)
+    lib.half_to_float(_ptr(h, ctypes.c_uint16), h.size,
+                      _ptr(out, ctypes.c_float))
+    return out
+
+
+def float_to_half(f: np.ndarray) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(f, np.float32)
+    out = np.zeros(f.shape, np.uint16)
+    lib.float_to_half(_ptr(f, ctypes.c_float), f.size,
+                      _ptr(out, ctypes.c_uint16))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -14,11 +14,16 @@
 //    ERGBE format (ref: bitmap.cpp writeRGBE/readRGBE)
 //  * Woop triangle-transform packing (the scene compiler's O(T) hot loop)
 
+//  * OpenEXR ZIP/ZIPS chunk codec (reorder + delta predictor + zlib) and
+//    HALF<->FLOAT conversion — the compressed-EXR subset of the Bitmap
+//    OpenEXR path (ref: bitmap.cpp readOpenEXR/writeOpenEXR)
+
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cmath>
 #include <cstdlib>
+#include <zlib.h>
 
 extern "C" {
 
@@ -444,6 +449,159 @@ int64_t ply_parse_faces(const uint8_t* data, int64_t len, int64_t count,
     }
     if (consumed != NULL) *consumed = pos;
     return n_tri;
+}
+
+// ---------------------------------------------------------------------------
+// OpenEXR ZIP/ZIPS chunk codec
+// ---------------------------------------------------------------------------
+// EXR's ZIP compression wraps zlib with two reversible transforms that
+// make float/half scanlines compress well: an interleave "reorder" that
+// splits the byte stream into two halves (high/low bytes of half data end
+// up contiguous) and a byte-wise delta predictor. Layout and transforms
+// follow the OpenEXR file-format specification (ZIP = 16 scanlines per
+// chunk, ZIPS = 1). Ref role: src/libcore/bitmap.cpp readOpenEXR —
+// the reference links the OpenEXR library; here the subset is native.
+
+// Uncompress one chunk: inflate `src` into a temp buffer of raw_size
+// bytes, undo the predictor, then un-reorder into dst. If src_len ==
+// raw_size the chunk was stored raw (OpenEXR stores incompressible
+// chunks verbatim). Returns 0 on success.
+int32_t exr_zip_uncompress(const uint8_t* src, int64_t src_len,
+                           uint8_t* dst, int64_t raw_size) {
+    if (src_len == raw_size) {               // stored raw
+        memcpy(dst, src, raw_size);
+        return 0;
+    }
+    uint8_t* tmp = (uint8_t*)malloc(raw_size ? raw_size : 1);
+    if (!tmp) return -1;
+    uLongf out_len = (uLongf)raw_size;
+    if (uncompress(tmp, &out_len, src, (uLong)src_len) != Z_OK
+        || (int64_t)out_len != raw_size) {
+        free(tmp);
+        return -2;
+    }
+    // undo delta predictor (byte-wise running sum)
+    for (int64_t i = 1; i < raw_size; i++)
+        tmp[i] = (uint8_t)((int)tmp[i - 1] + (int)tmp[i] - 128);
+    // un-reorder: interleave the two halves
+    {
+        const uint8_t* t1 = tmp;
+        const uint8_t* t2 = tmp + (raw_size + 1) / 2;
+        int64_t i = 0;
+        while (i < raw_size) {
+            dst[i++] = *t1++;
+            if (i < raw_size) dst[i++] = *t2++;
+        }
+    }
+    free(tmp);
+    return 0;
+}
+
+// Compress one chunk: reorder + predictor + deflate. Returns the
+// compressed size, or raw_size if the result would not be smaller (the
+// caller must then store the chunk verbatim, per the EXR spec), or -1
+// on allocation/zlib failure. dst capacity must be >= raw_size + 64.
+int64_t exr_zip_compress(const uint8_t* raw, int64_t raw_size,
+                         uint8_t* dst) {
+    uint8_t* tmp = (uint8_t*)malloc(raw_size ? raw_size : 1);
+    if (!tmp) return -1;
+    // reorder: de-interleave into two halves
+    {
+        uint8_t* t1 = tmp;
+        uint8_t* t2 = tmp + (raw_size + 1) / 2;
+        int64_t i = 0;
+        while (i < raw_size) {
+            *t1++ = raw[i++];
+            if (i < raw_size) *t2++ = raw[i++];
+        }
+    }
+    // delta predictor
+    {
+        int prev = tmp[0];
+        for (int64_t i = 1; i < raw_size; i++) {
+            int cur = tmp[i];
+            tmp[i] = (uint8_t)(cur - prev + (128 + 256));
+            prev = cur;
+        }
+    }
+    uLongf out_len = compressBound((uLong)raw_size);
+    uint8_t* cbuf = (uint8_t*)malloc(out_len);
+    if (!cbuf) { free(tmp); return -1; }
+    int rc = compress2(cbuf, &out_len, tmp, (uLong)raw_size,
+                       Z_DEFAULT_COMPRESSION);
+    free(tmp);
+    if (rc != Z_OK) { free(cbuf); return -1; }
+    if ((int64_t)out_len >= raw_size) {      // incompressible: store raw
+        free(cbuf);
+        return raw_size;
+    }
+    memcpy(dst, cbuf, out_len);
+    free(cbuf);
+    return (int64_t)out_len;
+}
+
+// ---------------------------------------------------------------------------
+// HALF <-> FLOAT (IEEE 754 binary16, as OpenEXR half)
+// ---------------------------------------------------------------------------
+
+void half_to_float(const uint16_t* src, int64_t n, float* dst) {
+    for (int64_t i = 0; i < n; i++) {
+        uint16_t h = src[i];
+        uint32_t sign = (uint32_t)(h >> 15) << 31;
+        uint32_t exp = (h >> 10) & 0x1F;
+        uint32_t man = h & 0x3FF;
+        uint32_t bits;
+        if (exp == 0) {
+            if (man == 0) {
+                bits = sign;                       // +-0
+            } else {                               // subnormal
+                exp = 127 - 15 + 1;
+                while (!(man & 0x400)) { man <<= 1; exp--; }
+                man &= 0x3FF;
+                bits = sign | (exp << 23) | (man << 13);
+            }
+        } else if (exp == 31) {                    // inf/nan
+            bits = sign | 0x7F800000u | (man << 13);
+        } else {
+            bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+        }
+        memcpy(&dst[i], &bits, 4);
+    }
+}
+
+void float_to_half(const float* src, int64_t n, uint16_t* dst) {
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t bits;
+        memcpy(&bits, &src[i], 4);
+        uint32_t sign = (bits >> 16) & 0x8000;
+        int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
+        uint32_t man = bits & 0x7FFFFF;
+        uint16_t h;
+        if (exp <= 0) {                            // underflow → subnormal/0
+            if (exp < -10) {
+                h = (uint16_t)sign;
+            } else {
+                man |= 0x800000;
+                int shift = 14 - exp;
+                uint32_t r = man >> shift;
+                // round to nearest even
+                if ((man >> (shift - 1)) & 1)
+                    if ((man & ((1u << (shift - 1)) - 1)) || (r & 1)) r++;
+                h = (uint16_t)(sign | r);
+            }
+        } else if (exp >= 31) {                    // overflow → inf (or nan)
+            h = (uint16_t)(sign | 0x7C00 |
+                           (((bits & 0x7F800000) == 0x7F800000 && man)
+                            ? (man >> 13 ? man >> 13 : 1) : 0));
+        } else {
+            uint32_t r = (uint32_t)(exp << 10) | (man >> 13);
+            if (man & 0x1000) {                    // round to nearest even
+                if ((man & 0xFFF) || (r & 1)) r++;
+            }
+            h = (uint16_t)(sign | r);
+        }
+        dst[i] = h;
+    }
 }
 
 }  // extern "C"

@@ -600,7 +600,12 @@ def load_xml(path: str, parameters: dict | None = None,
                                 rf.get("type", "box"), "box")
             film = Film(width=w, height=h, filter_name=filt,
                         banner=str(fp.get("banner", "false")).lower()
-                        in ("true", "1") if f_el is not None else False)
+                        in ("true", "1") if f_el is not None else False,
+                        component_format=str(fp.get(
+                            "componentFormat", "float32"))
+                        if f_el is not None else "float32",
+                        compression=str(fp.get("compression", "zip"))
+                        if f_el is not None else "zip")
             if stype in ("perspective", "thinlens"):
                 camera = PerspectiveCamera(
                     width=w, height=h, fov_x=float(p.get("fov", 39.0)),

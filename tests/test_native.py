@@ -168,3 +168,57 @@ def test_ply_face_list_tiers(tmp_path):
     with open(p2, "wb") as f:
         f.write(hdr + verts + tri)
     assert load_ply(p2).faces.tolist() == [[0, 1, 2], [2, 3, 4]]
+
+
+def test_exr_zip_half_roundtrips(tmp_path):
+    """EXR ZIP/ZIPS/none × float/half round trips, native<->python file
+    cross-parity, and half-conversion parity with numpy float16
+    (ref: bitmap.cpp readOpenEXR/writeOpenEXR — the compressed subset)."""
+    import os
+
+    import numpy as np
+
+    from mitsuba_tpu import native
+    from mitsuba_tpu.io import image as im
+
+    rng = np.random.default_rng(7)
+    img = (rng.standard_normal((37, 53, 3)) * 3).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+
+    for comp in ("zip", "zips", "none"):
+        im.write_exr(p, img, compression=comp)
+        assert np.array_equal(im.read_exr(p), img), comp
+
+    # half is lossy but must match numpy float16 quantization exactly
+    im.write_exr(p, img, pixel_type="half")
+    back = im.read_exr(p)
+    want = img.astype(np.float16).astype(np.float32)
+    assert np.array_equal(back, want)
+
+    # annotations survive compression
+    im.write_exr(p, img, annotations={"renderTime": 2.5, "spp": 8})
+    ann = im.read_exr_annotations(p)
+    assert ann["spp"] == 8 and abs(ann["renderTime"] - 2.5) < 1e-6
+
+    # tail chunk shorter than 16 scanlines
+    i3 = (rng.standard_normal((33, 20, 3))).astype(np.float32)
+    im.write_exr(p, i3)
+    assert np.array_equal(im.read_exr(p), i3)
+
+    if native.available():
+        # native chunk codec agrees with the numpy fallback bit-for-bit
+        raw = rng.integers(0, 256, 10001).astype(np.uint8)
+        cz = native.exr_zip_compress(raw)
+        assert np.array_equal(native.exr_zip_uncompress(cz, len(raw)),
+                              raw)
+        h = native.float_to_half(img)
+        assert np.array_equal(h, img.astype(np.float16).view(np.uint16))
+        f = native.half_to_float(h)
+        assert np.array_equal(f, h.view(np.float16).astype(np.float32))
+
+    # smooth gradients compress (the point of ZIP)
+    sm = np.tile(np.linspace(0, 1, 256, dtype=np.float32),
+                 (64, 1))[:, :, None]
+    im.write_exr(p, sm, compression="zip")
+    assert os.path.getsize(p) < sm.nbytes // 4
+    assert np.array_equal(im.read_exr(p), sm)

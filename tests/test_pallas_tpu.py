@@ -144,3 +144,58 @@ def test_prefix_gated_path_matches_ungated():
         for i in range(0, n, chunk)])
     assert np.allclose(l_gated, l_ref, rtol=1e-5, atol=1e-6), \
         np.abs(l_gated - l_ref).max()
+
+
+def test_fused_shade_matches_xla():
+    """The fused shade kernel (accel/shade_kernel.py) must reproduce the
+    XLA shading tail: same RNG streams, same NEE/MIS/RR formulas. Small
+    float reassociation differences are allowed; boundary flips
+    (RR/compare ties) must be statistically negligible."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    white = d.add_material(kind="diffuse", albedo=(0.7, 0.7, 0.7))
+    ggx = d.add_material(kind="roughconductor", alpha=0.2)
+    glass = d.add_material(kind="dielectric", int_ior=1.5)
+    mirror = d.add_material(kind="conductor")
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=white)
+    d.add_shape(shapes.sphere(16, 32),
+                to_world=tfm.translate([-1.5, 0, 0]), material=ggx)
+    d.add_shape(shapes.sphere(16, 32),
+                to_world=tfm.translate([1.5, 0, 0]), material=glass)
+    d.add_shape(shapes.cube(),
+                to_world=tfm.translate([0, 0, -2]) @ tfm.scale([0.7] * 3),
+                material=mirror)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([1.5] * 3),
+                material=white, radiance=(10.0, 9.0, 8.0))
+    scene = compile_scene(d, cluster_size=64)
+
+    n = 1 << 15                    # below the gating threshold
+    rs = np.random.RandomState(5)
+    o = jnp.asarray(np.tile([[0.0, 1.0, 6.0]], (n, 1)), jnp.float32)
+    dirs = rs.randn(n, 3) * [0.5, 0.4, 0.2] + [0, -0.1, -1.0]
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dv = jnp.asarray(dirs, jnp.float32)
+    px = jnp.arange(n, dtype=jnp.uint32)
+
+    base = PathTracer(max_depth=6, accel="pallas").specialized_for(scene)
+    import dataclasses
+    pt_off = dataclasses.replace(base, fused_shade="off")
+    pt_on = dataclasses.replace(base, fused_shade="on")
+    l_off = np.asarray(jax.jit(pt_off.li)(scene, o, dv, jnp.uint32(9),
+                                          px, 0))
+    l_on = np.asarray(jax.jit(pt_on.li)(scene, o, dv, jnp.uint32(9),
+                                        px, 0))
+    close = np.isclose(l_on, l_off, rtol=2e-3, atol=2e-4).all(-1)
+    assert close.mean() > 0.995, close.mean()
+    assert np.allclose(l_on.mean(0), l_off.mean(0), rtol=2e-3, atol=1e-4)
