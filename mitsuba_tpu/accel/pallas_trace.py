@@ -92,10 +92,48 @@ def build_cluster_aabbs(p0, e1, e2, tc: int, c_clusters: int
     return out
 
 
-def _trace_kernel_fused(live_ref, woop_ref, aabb_ref, rays_o_ref,
+ORDER_MAX_CLUSTERS = 128    # [C, C] order tables live in SMEM; past this
+                            # the scene keeps the plain Morton-order loop
+
+
+def build_cluster_order(aabb: np.ndarray):
+    """Front-to-back traversal tables from the cluster AABBs.
+
+    Returns (meta [C, 8] f32: center xyz, half-diagonal r, global r_max;
+    order [C, C] i32: clusters sorted by center distance from cluster k;
+    odist [C, C] f32: those distances). Replaces the BVH's ordered
+    descent at BLOCK granularity: with coherence-sorted rays, a ray
+    block visits clusters near-to-far from its origin box and stops as
+    soon as no remaining cluster can beat the block's worst hit —
+    the kd-tree early-termination capability (ref: sahkdtree3.h:179
+    Havran traversal) re-expressed for 2048-wide ray blocks."""
+    lo = aabb[:, 0:3].astype(np.float64)
+    hi = aabb[:, 3:6].astype(np.float64)
+    empty = (lo > hi).any(-1)
+    center = np.where(empty[:, None], 1e30, (lo + hi) * 0.5)
+    r = np.where(empty, 0.0,
+                 0.5 * np.linalg.norm(np.maximum(hi - lo, 0), axis=-1))
+    d = np.linalg.norm(center[:, None, :] - center[None, :, :], axis=-1)
+    order = np.argsort(d, axis=1).astype(np.int32)
+    odist = np.take_along_axis(d, order, axis=1).astype(np.float32)
+    meta = np.zeros((len(center), 8), np.float32)
+    meta[:, 0:3] = center
+    meta[:, 3] = r
+    meta[:, 4] = r[~empty].max() if (~empty).any() else 0.0
+    # global scene AABB in rows 0/1, cols 5:8 (the early-exit cap for
+    # escaping rays: a ray can't hit anything past its exit from this
+    # box, so misses stop pinning the block's hit cap at infinity)
+    if (~empty).any():
+        meta[0, 5:8] = lo[~empty].min(0)
+        meta[1, 5:8] = hi[~empty].max(0)
+    return meta, order, odist
+
+
+def _trace_kernel_fused(live_ref, woop_ref, aabb_ref, meta_ref, order_ref,
+                        odist_ref, hint_ref, lane_live_ref, rays_o_ref,
                         rays_d_ref, mint_ref, maxt_ref, t_ref, idx_ref,
                         u_ref, v_ref, *, tc: int, c_clusters: int,
-                        any_hit: bool):
+                        any_hit: bool, ordered: bool):
     """All clusters in ONE kernel invocation: the whole [C, 3Tc, 4] Woop
     table is VMEM-resident and a fori_loop walks it, with VMEM
     accumulators (the same structure as the megakernel's cluster loop,
@@ -201,8 +239,76 @@ def _trace_kernel_fused(live_ref, woop_ref, aabb_ref, rays_o_ref,
     def _():
         init = (jnp.full((1, b), _MISS), jnp.zeros((1, b), jnp.int32),
                 jnp.zeros((1, b)), jnp.zeros((1, b)))
-        t_best, tri_best, u_best, v_best = jax.lax.fori_loop(
-            0, c_clusters, cluster_step, init)
+        if not ordered:
+            t_best, tri_best, u_best, v_best = jax.lax.fori_loop(
+                0, c_clusters, cluster_step, init)
+        else:
+            # ---- block-level front-to-back traversal with early exit.
+            # Clusters are visited in precomputed near-to-far order from
+            # the block's hint cluster; the loop stops once even the
+            # CLOSEST point of the next cluster (conservatively:
+            # center distance − origin-box slack − max cluster radius)
+            # exceeds every live lane's current hit cap. Correct for
+            # every live lane; dead lanes (lane_live = 0) are excluded
+            # from the cap so stale rays can't pin the loop open.
+            k_b = hint_ref[pl.program_id(0)]
+            ckx = meta_ref[k_b, 0]
+            cky = meta_ref[k_b, 1]
+            ckz = meta_ref[k_b, 2]
+            r_max = meta_ref[0, 4]
+            lv = lane_live_ref[:] > 0.0
+            oxmin = jnp.min(jnp.where(lv, ox, big))
+            oxmax = jnp.max(jnp.where(lv, ox, -big))
+            oymin = jnp.min(jnp.where(lv, oy, big))
+            oymax = jnp.max(jnp.where(lv, oy, -big))
+            ozmin = jnp.min(jnp.where(lv, oz, big))
+            ozmax = jnp.max(jnp.where(lv, oz, -big))
+            dxm = jnp.maximum(jnp.abs(oxmin - ckx), jnp.abs(oxmax - ckx))
+            dym = jnp.maximum(jnp.abs(oymin - cky), jnp.abs(oymax - cky))
+            dzm = jnp.maximum(jnp.abs(ozmin - ckz), jnp.abs(ozmax - ckz))
+            d_box = jnp.sqrt(dxm * dxm + dym * dym + dzm * dzm)
+            # per-lane scene-exit distance: any hit satisfies
+            # t <= exit-from-global-AABB, so escaping rays get a finite
+            # cap instead of holding the loop open at maxt = 1e30
+            ex_x = jnp.maximum((meta_ref[0, 5] - ox) * idx_,
+                               (meta_ref[1, 5] - ox) * idx_)
+            ex_y = jnp.maximum((meta_ref[0, 6] - oy) * idy,
+                               (meta_ref[1, 6] - oy) * idy)
+            ex_z = jnp.maximum((meta_ref[0, 7] - oz) * idz,
+                               (meta_ref[1, 7] - oz) * idz)
+            t_exit = jnp.minimum(jnp.minimum(ex_x, ex_y), ex_z)
+            cap = jnp.minimum(maxt, t_exit * 1.001 + 1e-3)
+            far_eff = jnp.where(lv, cap, -big)
+
+            # exit checked every EXIT_STRIDE clusters: the cond's
+            # [1, B] → scalar reduction serializes the loop, so it is
+            # amortized over a group. Indices clamp at C-1 — revisiting
+            # a cluster is idempotent (min-accumulation), so the final
+            # (partial) group needs no masking.
+            stride = 4
+
+            def cond(carry):
+                i, t_best = carry[0], carry[1]
+                capped = jnp.minimum(t_best, far_eff)
+                if any_hit:
+                    # lanes that already found an occluder are done
+                    capped = jnp.where(t_best < _MISS, -big, capped)
+                t_cap = jnp.max(capped)
+                d_i = odist_ref[k_b, jnp.minimum(i, c_clusters - 1)]
+                return (i < c_clusters) & (d_i - d_box - r_max <= t_cap)
+
+            def bodyw(carry):
+                i = carry[0]
+                rest = carry[1:]
+                for j in range(stride):
+                    c = order_ref[k_b, jnp.minimum(i + j,
+                                                   c_clusters - 1)]
+                    rest = cluster_step(c, rest)
+                return (i + stride,) + rest
+
+            res = jax.lax.while_loop(cond, bodyw,
+                                     (jnp.int32(0),) + init)
+            t_best, tri_best, u_best, v_best = res[1:]
         t_ref[:] = t_best
         idx_ref[:] = tri_best
         if not any_hit:
@@ -282,7 +388,8 @@ def _trace_kernel(woop_ref, rays_o_ref, rays_d_ref, mint_ref, maxt_ref,
 @functools.partial(jax.jit, static_argnames=("tc", "block", "any_hit"))
 def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
           block: int = DEF_BLOCK, any_hit: bool = False, live=None,
-          cluster_aabb=None):
+          cluster_aabb=None, cluster_meta=None, cluster_order=None,
+          cluster_odist=None):
     """Trace a wavefront against all clusters.
 
     woop_clusters: [C, 3*tc, 4] from build_woop_clustered (device array)
@@ -290,6 +397,10 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
     mint/maxt: [1, N]
     live: optional [N] bool/int lane-liveness; blocks with no live lane
     skip the cluster loop entirely (their lanes report miss).
+    cluster_meta/order/odist (build_cluster_order): enable front-to-back
+    ordered traversal with early exit. Dead lanes' outputs may then
+    differ from the exhaustive loop (their rays stop contributing to
+    the exit cap) — callers must gate on `live`, as the integrator does.
     Returns (t [N], tri [N] int32, hit [N] bool, u [N], v [N]).
     any_hit=True skips barycentric bookkeeping (shadow rays).
     """
@@ -306,17 +417,33 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
     if table_bytes <= 8 << 20:
         if live is None:
             block_live = jnp.ones((r_blocks,), jnp.int32)
+            lane_live = jnp.ones((1, n), jnp.float32)
         else:
-            block_live = jnp.max(
-                live.reshape(r_blocks, block).astype(jnp.int32), axis=1)
+            live_i = live.reshape(r_blocks, block).astype(jnp.int32)
+            block_live = jnp.max(live_i, axis=1)
+            lane_live = live.reshape(1, n).astype(jnp.float32)
         if cluster_aabb is None:
             # everything-box: the slab gate always passes
             cluster_aabb = jnp.tile(
                 jnp.asarray([-1e30] * 3 + [1e30] * 3 + [0.0, 0.0],
                             jnp.float32), (c_clusters, 1))
+        ordered = cluster_order is not None
+        if ordered:
+            # per-block hint: nearest cluster center to the block's
+            # first ray origin (sorted wavefronts make lane 0
+            # representative; a poor hint only weakens the exit bound)
+            o_first = rays_o[0:3, ::block].T            # [r_blocks, 3]
+            cen = cluster_meta[:, 0:3]
+            d2 = jnp.sum((o_first[:, None, :] - cen[None]) ** 2, -1)
+            blk_hint = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        else:
+            cluster_meta = jnp.zeros((1, 8), jnp.float32)
+            cluster_order = jnp.zeros((1, 1), jnp.int32)
+            cluster_odist = jnp.zeros((1, 1), jnp.float32)
+            blk_hint = jnp.zeros((r_blocks,), jnp.int32)
         kernel = functools.partial(_trace_kernel_fused, tc=tc,
                                    c_clusters=c_clusters,
-                                   any_hit=any_hit)
+                                   any_hit=any_hit, ordered=ordered)
         col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                         memory_space=pltpu.VMEM)
         t_out, idx_out, u_out, v_out = pl.pallas_call(
@@ -327,6 +454,11 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
                 pl.BlockSpec(woop_clusters.shape, lambda r: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),     # cluster aabb
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # cluster meta
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # order
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # odist
+                pl.BlockSpec(memory_space=pltpu.SMEM),     # blk hint
+                col(1),                                    # lane live
                 col(4), col(4), col(1), col(1),
             ],
             out_specs=(col(1), col(1), col(1), col(1)),
@@ -336,8 +468,9 @@ def trace(woop_clusters, rays_o, rays_d, mint, maxt, tc: int = 64,
             # default scoped-VMEM stack (v5e has 128 MB physical VMEM)
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 << 20),
-        )(block_live, woop_clusters, cluster_aabb, rays_o, rays_d,
-          mint, maxt)
+        )(block_live, woop_clusters, cluster_aabb, cluster_meta,
+          cluster_order, cluster_odist, blk_hint, lane_live,
+          rays_o, rays_d, mint, maxt)
         t = t_out[0]
         hit = t < _MISS
         return t, jnp.where(hit, idx_out[0], 0), hit, u_out[0], v_out[0]
@@ -441,9 +574,19 @@ def pallas_intersect(scene: SceneData, o, d, mint, maxt,
                               tc=scene.woop_clusters.shape[1] // 3,
                               block=block, live=live_p,
                               cluster_aabb=getattr(
-                                  scene, "cluster_aabb", None))
+                                  scene, "cluster_aabb", None),
+                              **_order_tables(scene))
     return fill_intersection(scene, o, d, t[:n], u[:n], v[:n], tri[:n],
                              hit[:n])
+
+
+def _order_tables(scene):
+    meta = getattr(scene, "cluster_meta", None)
+    if meta is None:
+        return {}
+    return {"cluster_meta": meta,
+            "cluster_order": scene.cluster_order,
+            "cluster_odist": scene.cluster_odist}
 
 
 def pallas_occluded(scene: SceneData, o, d, mint, maxt, live=None):
@@ -462,5 +605,6 @@ def pallas_occluded(scene: SceneData, o, d, mint, maxt, live=None):
                             tc=scene.woop_clusters.shape[1] // 3,
                             block=block, any_hit=True, live=live_p,
                             cluster_aabb=getattr(
-                                scene, "cluster_aabb", None))
+                                scene, "cluster_aabb", None),
+                            **_order_tables(scene))
     return hit[:n]

@@ -82,7 +82,18 @@ def make_shade_kernel(tc: int, c_clusters: int, families: tuple,
         dim_base = _SENSOR_DIMS + bounce * _DIMS_PER_BOUNCE
         b = in_ref.shape[1]
 
-        out_ref[:] = jnp.zeros((8 * K_OUT, b), jnp.float32)
+        # all-dead blocks: PASS THROUGH the carry (L keeps the finished
+        # path's radiance; d/o/eta ride along; throughput 0, alive 0) —
+        # matching what the XLA tail produces for inactive lanes
+        zero = jnp.zeros((8, b), jnp.float32)
+        one = zero + 1.0
+        out_ref[:] = jnp.concatenate([
+            v(_I_P + 0), v(_I_P + 1), v(_I_P + 2),
+            v(_I_D + 0), v(_I_D + 1), v(_I_D + 2),
+            zero, zero, zero,
+            v(_I_L + 0), v(_I_L + 1), v(_I_L + 2),
+            zero, one, one, v(_I_ETA),
+        ], axis=0)
 
         @pl.when(live_ref[pl.program_id(0)] != 0)
         def _():

@@ -434,7 +434,9 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         tri_area = np.concatenate([tri_area, np.zeros(pad)])
 
     woop_o, woop_d = build_woop(p0, e1, e2)
-    from ..accel.pallas_trace import (PALLAS_TC, build_cluster_aabbs,
+    from ..accel.pallas_trace import (ORDER_MAX_CLUSTERS, PALLAS_TC,
+                                      build_cluster_aabbs,
+                                      build_cluster_order,
                                       build_woop_clustered)
     woop_clusters = build_woop_clustered(woop_o, PALLAS_TC)
     # per-cluster AABBs over REAL triangles only (the far-away pads
@@ -442,6 +444,10 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
     cluster_aabb = build_cluster_aabbs(p0[:n_tris], e1[:n_tris],
                                        e2[:n_tris], PALLAS_TC,
                                        woop_clusters.shape[0])
+    if 8 <= woop_clusters.shape[0] <= ORDER_MAX_CLUSTERS:
+        cl_meta, cl_order, cl_odist = build_cluster_order(cluster_aabb)
+    else:
+        cl_meta = cl_order = cl_odist = None
 
     # packed attribute rows: one gather fetches the whole hit record
     n_tp = len(p0)
@@ -645,6 +651,10 @@ def compile_scene(desc: SceneDesc, cluster_size: int = 512) -> S.SceneData:
         env_alias=(f32(env_tables["env_alias"]) if env_tables
                    else None),
         cluster_aabb=f32(cluster_aabb),
+        cluster_meta=None if cl_meta is None else f32(cl_meta),
+        cluster_order=None if cl_order is None else
+        jnp.asarray(cl_order),
+        cluster_odist=None if cl_odist is None else f32(cl_odist),
         med_sigma_t=f32(med_sigma_t), med_albedo=f32(med_albedo),
         med_g=f32(med_g), med_bound=f32(med_bound),
         has_medium=jnp.asarray(has_medium),

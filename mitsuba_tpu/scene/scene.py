@@ -175,6 +175,14 @@ class SceneData(NamedTuple):
     # block and skips clusters no ray can enter (accel/pallas_trace.py).
     # None ⇒ no culling (hand-built SceneData in old tests).
     cluster_aabb: jnp.ndarray = None
+    # front-to-back traversal tables (accel/pallas_trace.py
+    # build_cluster_order): per-cluster centers/radii, per-cluster
+    # near-to-far cluster order + distances. Built when the cluster
+    # count fits the SMEM budget (≤ ORDER_MAX_CLUSTERS); None disables
+    # ordered early-exit traversal.
+    cluster_meta: jnp.ndarray = None     # [C, 8] f32
+    cluster_order: jnp.ndarray = None    # [C, C] i32
+    cluster_odist: jnp.ndarray = None    # [C, C] f32
 
     @property
     def n_tris(self):
