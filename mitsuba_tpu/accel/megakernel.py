@@ -16,8 +16,11 @@ all intermediates resident in VMEM:
     scalar-broadcast select chains (small M by construction);
   * the counter-based PCG4D RNG is evaluated in-kernel (uint32 VPU ops),
     so replayability is preserved bit-for-bit with the XLA path;
-  * supported lobe families are compile-time specialized (diffuse,
-    conductor, rough-conductor GGX); area/point/constant emitters.
+  * supported lobe families are compile-time specialized (MEGA_FAMILIES:
+    diffuse, conductor, rough-conductor GGX, smooth dielectric, plastic,
+    phong, ward, Oren-Nayar rough diffuse, thin dielectric, diffuse
+    transmitter, null); emitters: area, constant env, point, spot,
+    directional (MEGA_EM_TYPES).
 
 LAYOUT (the v5e-measured design): shading state is stored as [S, B] blocks
 (S=8 sublanes × B lanes of independent rays), so every elementwise shading
@@ -49,14 +52,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.scene import (EM_AREA, EM_CONSTANT, MAT_CONDUCTOR,
-                           MAT_DIELECTRIC, MAT_DIFFUSE,
-                           MAT_ROUGH_CONDUCTOR, SceneData)
+from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
+                           EM_SPOT, MAT_CONDUCTOR, MAT_DIELECTRIC,
+                           MAT_DIFFTRANS, MAT_DIFFUSE, MAT_NULL,
+                           MAT_PHONG, MAT_PLASTIC, MAT_ROUGH_CONDUCTOR,
+                           MAT_ROUGH_DIFFUSE, MAT_THIN_DIELECTRIC,
+                           MAT_WARD, SceneData)
 
 # BSDF families implemented by the in-kernel dispatch (_bsdf_sample /
-# _bsdf_eval_pdf); MegaPathTracer.for_scene validates against this
+# _bsdf_eval_pdf); MegaPathTracer.for_scene validates against this.
+# Every branch mirrors the corresponding bsdf.py leaf family exactly
+# (same warps, same clamps) so the kernel stays stream-for-stream
+# comparable with the XLA wavefront.
 MEGA_FAMILIES = frozenset(
-    {MAT_DIFFUSE, MAT_CONDUCTOR, MAT_ROUGH_CONDUCTOR, MAT_DIELECTRIC})
+    {MAT_DIFFUSE, MAT_CONDUCTOR, MAT_ROUGH_CONDUCTOR, MAT_DIELECTRIC,
+     MAT_PLASTIC, MAT_PHONG, MAT_WARD, MAT_ROUGH_DIFFUSE,
+     MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL})
+
+# emitter types the in-kernel NEE chain understands (mega.py validates)
+MEGA_EM_TYPES = frozenset(
+    {EM_AREA, EM_CONSTANT, EM_POINT, EM_SPOT, EM_DIRECTIONAL})
+
+# families whose sampler draws a cosine-hemisphere candidate
+MEGA_COS_FAMILIES = {MAT_DIFFUSE, MAT_ROUGH_DIFFUSE, MAT_PLASTIC,
+                     MAT_PHONG, MAT_WARD, MAT_DIFFTRANS}
 
 _U32 = jnp.uint32
 _MISS = 1e30
@@ -142,6 +161,62 @@ def _coordsys(nx, ny, nz):
 def _mis(pdf_a, pdf_b):
     r = jnp.clip(pdf_b / jnp.maximum(pdf_a, 1e-6), 0.0, 1e6)
     return jnp.where(pdf_a > 0, 1.0 / (1.0 + r * r), 0.0)
+
+
+def _cosine_hemisphere(u0, u1):
+    """Concentric-disk cosine hemisphere warp (mirrors core/warp.py
+    square_to_cosine_hemisphere bit-for-bit)."""
+    oxx = 2.0 * u0 - 1.0
+    oyy = 2.0 * u1 - 1.0
+    is_zero = (oxx == 0.0) & (oyy == 0.0)
+    use_x = jnp.abs(oxx) > jnp.abs(oyy)
+    r = jnp.where(use_x, oxx, oyy)
+    ratio = jnp.where(
+        is_zero, 0.0,
+        jnp.where(use_x, oyy / jnp.where(oxx == 0.0, 1.0, oxx),
+                  oxx / jnp.where(oyy == 0.0, 1.0, oyy)))
+    phi = jnp.where(use_x, ratio * (np.pi / 4.0),
+                    (np.pi / 2.0) - ratio * (np.pi / 4.0))
+    r = jnp.where(is_zero, 0.0, r)
+    sxd = r * jnp.cos(phi)
+    syd = r * jnp.sin(phi)
+    szd = jnp.sqrt(jnp.maximum(1.0 - sxd * sxd - syd * syd, 0.0))
+    return sxd, syd, szd
+
+
+def _fresnel_diel_f(cos_i, eta):
+    """Unpolarized dielectric Fresnel F for signed cos_i (mirrors
+    core/fresnel.py fresnel_dielectric's F output incl. clamps)."""
+    eta = jnp.maximum(eta, 1e-3)
+    outside = cos_i >= 0.0
+    eta_it = jnp.where(outside, eta, 1.0 / eta)
+    eta_ti = 1.0 / eta_it
+    ci = jnp.abs(cos_i)
+    sin_t2 = eta_ti * eta_ti * (1.0 - ci * ci)
+    tir = sin_t2 >= 1.0
+    ct = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 1e-12))
+    ct = jnp.where(tir, 0.0, ct)
+    rs = (ci - eta_it * ct) / jnp.maximum(ci + eta_it * ct, 1e-4)
+    rp = (eta_it * ci - ct) / jnp.maximum(eta_it * ci + ct, 1e-4)
+    return jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+
+
+def _powf(a, b):
+    """a**b for a > 0 — Mosaic has no general pow lowering; exp/log is
+    the standard TPU expansion (callers clamp a ≥ 1e-7)."""
+    return jnp.exp(b * jnp.log(a))
+
+
+def _fdr(eta):
+    """Diffuse Fresnel reflectance polynomial fits (mirrors
+    core/fresnel.py fresnel_diffuse_reflectance)."""
+    inv_eta = 1.0 / eta
+    below = -1.4399 * (eta * eta) + 0.7099 * eta + 0.6681 + 0.0636 * inv_eta
+    ie2 = inv_eta * inv_eta
+    ie3 = ie2 * inv_eta
+    above = (0.919317 - 3.4793 * inv_eta + 6.75335 * ie2
+             - 7.80989 * ie3 + 4.98554 * ie2 * ie2 - 1.36881 * ie2 * ie3)
+    return jnp.where(eta < 1.0, below, above)
 
 
 # ---------------------------------------------------------------------------
@@ -251,10 +326,13 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
     else:
         rows[:, 12] = 1e9
 
-    # per-emitter pick metadata (SMEM select chains in the kernel)
+    # per-emitter pick metadata (SMEM select chains in the kernel):
+    # 0 cdf_lo, 1 pmf, 2 type, 3:6 radiance/intensity, 6 area,
+    # 8:11 position (directional: the emission direction, as em_pos),
+    # 11:14 spot axis, 14 cos cutoff, 15 cos beam width
     n_em = int(scene.n_emitters)
     e_pad = max(8, -(-max(n_em, 1) // 8) * 8)
-    meta = np.zeros((e_pad, 8), np.float32)
+    meta = np.zeros((e_pad, 16), np.float32)
     if n_em:
         pmf_all = np.asarray(scene.em_pmf.pmf)[:n_em]
         meta[:n_em, 0] = np.cumsum(pmf_all) - pmf_all    # cdf_lo
@@ -262,6 +340,12 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         meta[:n_em, 2] = np.asarray(scene.em_type)[:n_em]
         meta[:n_em, 3:6] = np.asarray(scene.em_radiance)[:n_em]
         meta[:n_em, 6] = np.asarray(scene.em_area)[:n_em]
+        meta[:n_em, 8:11] = np.asarray(scene.em_pos)[:n_em]
+        aux = np.asarray(scene.em_aux)
+        if aux.shape[0] >= n_em:
+            meta[:n_em, 11:14] = aux[:n_em, 0:3]
+            meta[:n_em, 14] = aux[:n_em, 3]
+            meta[:n_em, 15] = aux[:n_em, 4]
         meta[n_em:, 0] = 2e9             # never selected by the chain
     from .pallas_trace import build_cluster_aabbs
     aabb = build_cluster_aabbs(np.asarray(scene.p0)[:n_real],
@@ -628,6 +712,44 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     le_nee_g = jnp.where(is_env_sel, em_pick(4), em_val(17))
     le_nee_b = jnp.where(is_env_sel, em_pick(5), em_val(18))
 
+    # point/spot/directional delta emitters (emitter.py sample_direct):
+    # direction to the stored position (point/spot, with the spot's
+    # linear falloff curve) or the fixed direction (directional);
+    # pdf bookkept as the pick pmf, MIS weight forced to 1
+    etype_k = em_pick(2)
+    is_point_sel = (etype_k == float(EM_POINT)) \
+        | (etype_k == float(EM_SPOT))
+    is_spot_sel = etype_k == float(EM_SPOT)
+    is_dir_sel = etype_k == float(EM_DIRECTIONAL)
+    is_delta_sel = is_point_sel | is_dir_sel
+    epx, epy, epz = em_pick(8), em_pick(9), em_pick(10)
+    tqx, tqy, tqz = epx - px_, epy - py_, epz - pz_
+    pd2 = jnp.maximum(tqx * tqx + tqy * tqy + tqz * tqz, 1e-12)
+    pdist = jnp.sqrt(pd2)
+    dqx, dqy, dqz = tqx / pdist, tqy / pdist, tqz / pdist
+    cos_ang = -(em_pick(11) * dqx + em_pick(12) * dqy
+                + em_pick(13) * dqz)
+    falloff = jnp.clip(
+        (cos_ang - em_pick(14))
+        / jnp.maximum(em_pick(15) - em_pick(14), 1e-6), 0.0, 1.0)
+    fall = jnp.where(is_spot_sel, falloff, 1.0)
+    ldx = jnp.where(is_dir_sel, -epx, jnp.where(is_point_sel, dqx, ldx))
+    ldy = jnp.where(is_dir_sel, -epy, jnp.where(is_point_sel, dqy, ldy))
+    ldz = jnp.where(is_dir_sel, -epz, jnp.where(is_point_sel, dqz, ldz))
+    ldist = jnp.where(is_dir_sel, ENV_DIST,
+                      jnp.where(is_point_sel, pdist, ldist))
+    pdf_nee = jnp.where(is_delta_sel, pmf_k, pdf_nee)
+    inv_pd2 = fall / pd2
+    le_nee_r = jnp.where(is_dir_sel, em_pick(3),
+                         jnp.where(is_point_sel, em_pick(3) * inv_pd2,
+                                   le_nee_r))
+    le_nee_g = jnp.where(is_dir_sel, em_pick(4),
+                         jnp.where(is_point_sel, em_pick(4) * inv_pd2,
+                                   le_nee_g))
+    le_nee_b = jnp.where(is_dir_sel, em_pick(5),
+                         jnp.where(is_point_sel, em_pick(5) * inv_pd2,
+                                   le_nee_b))
+
     # shadow ray (offset along geometric normal)
     sgn = jnp.where(ldx * ngx + ldy * ngy + ldz * ngz >= 0.0, 1.0, -1.0)
     eps_o = 1e-4 * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(px_),
@@ -657,7 +779,8 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     f_r, f_g, f_b, pdf_fwd = _bsdf_eval_pdf(
         families, mat_param, mtype, wil_x, wil_y, wil_z,
         wol_x, wol_y, wol_z)
-    mis_nee = _mis(pdf_nee, pdf_fwd)
+    # delta emitters can't be BSDF-sampled: MIS weight 1 (path.py w_nee)
+    mis_nee = jnp.where(is_delta_sel, 1.0, _mis(pdf_nee, pdf_fwd))
     # skip NEE when the connection vertex would exceed maxDepth
     # (path.cpp:169-180 via integrator/path.py nee_allowed)
     nee_ok = hit if max_depth <= 0 else \
@@ -937,6 +1060,112 @@ def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
         pdf_h = g1i * jnp.abs(wim) * d_ndf / jnp.maximum(wiz, 1e-12)
         pdf = pdf + s * pdf_h / jnp.maximum(
             4.0 * jnp.abs(wox * hx + woy * hy + woz * hz), 1e-7)
+    if MAT_ROUGH_DIFFUSE in families:
+        # Oren-Nayar (mirrors bsdf.py roughdiffuse_eval)
+        sel = (mtype == float(MAT_ROUGH_DIFFUSE)) & valid
+        s = sel.astype(jnp.float32)
+        sigma = mat_param(9) * 0.70711
+        sigma2 = sigma * sigma
+        a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
+        bb = 0.45 * sigma2 / (sigma2 + 0.09)
+        st_i = jnp.sqrt(jnp.maximum(1.0 - wiz * wiz, 0.0))
+        st_o = jnp.sqrt(jnp.maximum(1.0 - woz * woz, 0.0))
+        denom = jnp.maximum(st_i * st_o, 1e-7)
+        cos_dphi = jnp.clip((wix * wox + wiy * woy) / denom, -1.0, 1.0)
+        sin_alpha = jnp.maximum(st_i, st_o)
+        tan_beta = jnp.minimum(st_i / jnp.maximum(wiz, 1e-7),
+                               st_o / jnp.maximum(woz, 1e-7))
+        on = (a + bb * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta) \
+            * INV_PI * jnp.maximum(woz, 0.0)
+        f_r = f_r + s * mat_param(0) * on
+        f_g = f_g + s * mat_param(1) * on
+        f_b = f_b + s * mat_param(2) * on
+        pdf = pdf + s * woz * INV_PI
+    if MAT_PLASTIC in families:
+        # smooth plastic's diffuse term (mirrors bsdf.py plastic_eval)
+        sel = (mtype == float(MAT_PLASTIC)) & valid
+        s = sel.astype(jnp.float32)
+        eta = jnp.maximum(mat_param(0), 1e-3)
+        fi = _fresnel_diel_f(wiz, eta)
+        fo = _fresnel_diel_f(woz, eta)
+        fdr_int = _fdr(1.0 / eta)
+        inv_eta2 = 1.0 / (eta * eta)
+        nonlin = mat_param(7) > 0.5
+        base = INV_PI * (1.0 - fi) * (1.0 - fo) * jnp.maximum(woz, 0.0)
+        for ch, acc in ((0, "r"), (1, "g"), (2, "b")):
+            kd = mat_param(1 + ch)
+            den = jnp.where(nonlin, 1.0 - kd * fdr_int, 1.0 - fdr_int)
+            dw = kd * inv_eta2 / jnp.maximum(den, 1e-4)
+            if ch == 0:
+                f_r = f_r + s * dw * base
+            elif ch == 1:
+                f_g = f_g + s * dw * base
+            else:
+                f_b = f_b + s * dw * base
+        pdf = pdf + s * woz * INV_PI * (1.0 - fi)
+    if MAT_PHONG in families:
+        sel = (mtype == float(MAT_PHONG)) & valid
+        s = sel.astype(jnp.float32)
+        nexp = mat_param(6)
+        ct_o = jnp.maximum(woz, 0.0)
+        # dot(reflect(wi), wo) with reflect = (-x, -y, z)
+        alpha = jnp.maximum(-wix * wox - wiy * woy + wiz * woz, 1e-7)
+        an = _powf(alpha, nexp)
+        glossy = (nexp + 2.0) * (0.5 * INV_PI) * an * ct_o
+        diff = INV_PI * ct_o
+        f_r = f_r + s * (mat_param(3) * glossy + mat_param(0) * diff)
+        f_g = f_g + s * (mat_param(4) * glossy + mat_param(1) * diff)
+        f_b = f_b + s * (mat_param(5) * glossy + mat_param(2) * diff)
+        sd = jnp.maximum(jnp.maximum(mat_param(0), mat_param(1)),
+                         mat_param(2))
+        ss = jnp.maximum(jnp.maximum(mat_param(3), mat_param(4)),
+                         mat_param(5))
+        prob_s = ss / jnp.maximum(sd + ss, 1e-7)
+        pdf_s = (nexp + 1.0) * (0.5 * INV_PI) * an
+        pdf = pdf + s * (prob_s * pdf_s + (1.0 - prob_s) * woz * INV_PI)
+    if MAT_WARD in families:
+        sel = (mtype == float(MAT_WARD)) & valid
+        s = sel.astype(jnp.float32)
+        au = jnp.maximum(mat_param(9), 1e-3)
+        av = jnp.maximum(mat_param(10), 1e-3)
+        hx, hy, hz = wix + wox, wiy + woy, wiz + woz
+        ex = -((hx / au) ** 2 + (hy / av) ** 2) \
+            / jnp.maximum(hz * hz, 1e-12)
+        # max(·,0) inside the sqrt: wiz·woz < 0 on invalid lanes would
+        # give sqrt(NaN), and NaN×0 leaks through the select chain
+        spec = (jnp.exp(ex) / (4.0 * np.pi * au * av
+                               * jnp.maximum(
+                                   jnp.sqrt(jnp.maximum(wiz * woz, 0.0)),
+                                   1e-6)))
+        f_r = f_r + s * (mat_param(0) * INV_PI * woz
+                         + mat_param(3) * spec * woz)
+        f_g = f_g + s * (mat_param(1) * INV_PI * woz
+                         + mat_param(4) * spec * woz)
+        f_b = f_b + s * (mat_param(2) * INV_PI * woz
+                         + mat_param(5) * spec * woz)
+        # pdf uses the NORMALIZED half vector (bsdf.py ward_pdf)
+        hnx, hny, hnz = _normalize3(hx, hy, hz)
+        exn = -((hnx / au) ** 2 + (hny / av) ** 2) \
+            / jnp.maximum(hnz * hnz, 1e-12)
+        pdf_h = jnp.exp(exn) / (np.pi * au * av
+                                * jnp.maximum(hnz * hnz * hnz, 1e-6))
+        pdf_s = pdf_h / jnp.maximum(
+            4.0 * jnp.abs(wox * hnx + woy * hny + woz * hnz), 1e-6)
+        sd = jnp.maximum(jnp.maximum(mat_param(0), mat_param(1)),
+                         mat_param(2))
+        ss = jnp.maximum(jnp.maximum(mat_param(3), mat_param(4)),
+                         mat_param(5))
+        prob_s = ss / jnp.maximum(sd + ss, 1e-7)
+        pdf = pdf + s * (prob_s * pdf_s + (1.0 - prob_s) * woz * INV_PI)
+    if MAT_DIFFTRANS in families:
+        # opposite-hemisphere validity (bsdf.py difftrans_eval)
+        sel = (mtype == float(MAT_DIFFTRANS)) & (wiz * woz < 0.0)
+        s = sel.astype(jnp.float32)
+        awz = jnp.abs(woz)
+        f_r = f_r + s * mat_param(0) * INV_PI * awz
+        f_g = f_g + s * mat_param(1) * INV_PI * awz
+        f_b = f_b + s * mat_param(2) * INV_PI * awz
+        pdf = pdf + s * awz * INV_PI
     return f_r, f_g, f_b, pdf
 
 
@@ -987,24 +1216,13 @@ def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
     is_delta = zero > 1.0
     eta_event = zero + 1.0
 
+    # cosine-hemisphere candidate shared by the diffuse-class lobes
+    need_cos = bool(MEGA_COS_FAMILIES & set(families))
+    if need_cos:
+        sxd, syd, szd = _cosine_hemisphere(u0, u1)
+
     if MAT_DIFFUSE in families:
         sel = mtype == float(MAT_DIFFUSE)
-        # concentric disk + lift (mirrors warp.py exactly)
-        oxx = 2.0 * u0 - 1.0
-        oyy = 2.0 * u1 - 1.0
-        is_zero = (oxx == 0.0) & (oyy == 0.0)
-        use_x = jnp.abs(oxx) > jnp.abs(oyy)
-        r = jnp.where(use_x, oxx, oyy)
-        ratio = jnp.where(
-            is_zero, 0.0,
-            jnp.where(use_x, oyy / jnp.where(oxx == 0.0, 1.0, oxx),
-                      oxx / jnp.where(oyy == 0.0, 1.0, oyy)))
-        phi = jnp.where(use_x, ratio * (np.pi / 4.0),
-                        (np.pi / 2.0) - ratio * (np.pi / 4.0))
-        r = jnp.where(is_zero, 0.0, r)
-        sxd = r * jnp.cos(phi)
-        syd = r * jnp.sin(phi)
-        szd = jnp.sqrt(jnp.maximum(1.0 - sxd * sxd - syd * syd, 0.0))
         ok = wiz > 0.0
         s = (sel & ok).astype(jnp.float32)
         nwx = jnp.where(sel, sxd, nwx)
@@ -1076,6 +1294,228 @@ def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
         w_g = jnp.where(sel, s * fr_g * mat_param(7) * g1o, w_g)
         w_b = jnp.where(sel, s * fr_b * mat_param(8) * g1o, w_b)
         pdf = jnp.where(sel, s * pdf_c, pdf)
+
+    if MAT_ROUGH_DIFFUSE in families:
+        # Oren-Nayar: cosine sample, weight = f/pdf (roughdiffuse_sample)
+        sel = mtype == float(MAT_ROUGH_DIFFUSE)
+        okz = (wiz > 0.0) & (szd > 0.0)
+        sigma = mat_param(9) * 0.70711
+        sigma2 = sigma * sigma
+        a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
+        bb = 0.45 * sigma2 / (sigma2 + 0.09)
+        st_i = jnp.sqrt(jnp.maximum(1.0 - wiz * wiz, 0.0))
+        st_o = jnp.sqrt(jnp.maximum(1.0 - szd * szd, 0.0))
+        denom = jnp.maximum(st_i * st_o, 1e-7)
+        cos_dphi = jnp.clip((wix * sxd + wiy * syd) / denom, -1.0, 1.0)
+        sin_alpha = jnp.maximum(st_i, st_o)
+        tan_beta = jnp.minimum(st_i / jnp.maximum(wiz, 1e-7),
+                               st_o / jnp.maximum(szd, 1e-7))
+        # f/pdf: the (1/π)·cosθo factors cancel against the cosine pdf
+        on = a + bb * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta
+        s = (sel & okz).astype(jnp.float32)
+        nwx = jnp.where(sel, sxd, nwx)
+        nwy = jnp.where(sel, syd, nwy)
+        nwz = jnp.where(sel, szd, nwz)
+        w_r = jnp.where(sel, s * mat_param(0) * on, w_r)
+        w_g = jnp.where(sel, s * mat_param(1) * on, w_g)
+        w_b = jnp.where(sel, s * mat_param(2) * on, w_b)
+        pdf = jnp.where(sel, (sel & (wiz > 0.0)).astype(jnp.float32)
+                        * szd * INV_PI, pdf)
+
+    if MAT_PLASTIC in families:
+        # delta coat over diffuse (bsdf.py plastic_sample)
+        sel = mtype == float(MAT_PLASTIC)
+        eta = jnp.maximum(mat_param(0), 1e-3)
+        fi = _fresnel_diel_f(wiz, eta)
+        pick_spec = uc < fi
+        pwx = jnp.where(pick_spec, -wix, sxd)
+        pwy = jnp.where(pick_spec, -wiy, syd)
+        pwz = jnp.where(pick_spec, wiz, szd)
+        fo = _fresnel_diel_f(pwz, eta)
+        fdr_int = _fdr(1.0 / eta)
+        inv_eta2 = 1.0 / (eta * eta)
+        nonlin = mat_param(7) > 0.5
+        dfac = (1.0 - fi) * (1.0 - fo) / jnp.maximum(1.0 - fi, 1e-7)
+        okz = wiz > 0.0
+        s = (sel & okz).astype(jnp.float32)
+        for ch in range(3):
+            kd = mat_param(1 + ch)
+            ks = mat_param(4 + ch)
+            den = jnp.where(nonlin, 1.0 - kd * fdr_int, 1.0 - fdr_int)
+            dw = kd * inv_eta2 / jnp.maximum(den, 1e-4)
+            wch = jnp.where(pick_spec, ks, dw * dfac)
+            if ch == 0:
+                w_r = jnp.where(sel, s * wch, w_r)
+            elif ch == 1:
+                w_g = jnp.where(sel, s * wch, w_g)
+            else:
+                w_b = jnp.where(sel, s * wch, w_b)
+        nwx = jnp.where(sel, pwx, nwx)
+        nwy = jnp.where(sel, pwy, nwy)
+        nwz = jnp.where(sel, pwz, nwz)
+        pdf = jnp.where(sel, s * jnp.where(pick_spec, fi,
+                                           (1.0 - fi) * szd * INV_PI),
+                        pdf)
+        is_delta = is_delta | (sel & pick_spec)
+
+    if MAT_PHONG in families:
+        sel = mtype == float(MAT_PHONG)
+        nexp = mat_param(6)
+        sd = jnp.maximum(jnp.maximum(mat_param(0), mat_param(1)),
+                         mat_param(2))
+        ss = jnp.maximum(jnp.maximum(mat_param(3), mat_param(4)),
+                         mat_param(5))
+        prob_s = ss / jnp.maximum(sd + ss, 1e-7)
+        pick_s = uc < prob_s
+        # glossy lobe around the mirror direction (phong_sample)
+        cos_a = _powf(jnp.maximum(u0, 1e-7), 1.0 / (nexp + 1.0))
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+        ph = 2.0 * np.pi * u1
+        lx = sin_a * jnp.cos(ph)
+        ly = sin_a * jnp.sin(ph)
+        rx_, ry_, rz_ = -wix, -wiy, wiz
+        (fsx, fsy, fsz), (ftx, fty, ftz) = _coordsys(rx_, ry_, rz_)
+        gx = lx * fsx + ly * ftx + cos_a * rx_
+        gy = lx * fsy + ly * fty + cos_a * ry_
+        gz = lx * fsz + ly * ftz + cos_a * rz_
+        pwx = jnp.where(pick_s, gx, sxd)
+        pwy = jnp.where(pick_s, gy, syd)
+        pwz = jnp.where(pick_s, gz, szd)
+        valid = (wiz > 0.0) & (pwz > 0.0)
+        alpha = jnp.maximum(-wix * pwx - wiy * pwy + wiz * pwz, 1e-7)
+        an = _powf(alpha, nexp)
+        pdf_s = (nexp + 1.0) * (0.5 * INV_PI) * an
+        pdf_c = jnp.where(valid,
+                          prob_s * pdf_s + (1.0 - prob_s) * pwz * INV_PI,
+                          0.0)
+        ct_o = jnp.maximum(pwz, 0.0)
+        glossy = (nexp + 2.0) * (0.5 * INV_PI) * an * ct_o
+        diff = INV_PI * ct_o
+        vf = valid.astype(jnp.float32)
+        inv_p = 1.0 / jnp.maximum(pdf_c, 1e-6)
+        wgate = (pdf_c > 1e-6).astype(jnp.float32) * vf * inv_p
+        nwx = jnp.where(sel, pwx, nwx)
+        nwy = jnp.where(sel, pwy, nwy)
+        nwz = jnp.where(sel, pwz, nwz)
+        w_r = jnp.where(sel, (mat_param(3) * glossy + mat_param(0) * diff)
+                        * wgate, w_r)
+        w_g = jnp.where(sel, (mat_param(4) * glossy + mat_param(1) * diff)
+                        * wgate, w_g)
+        w_b = jnp.where(sel, (mat_param(5) * glossy + mat_param(2) * diff)
+                        * wgate, w_b)
+        pdf = jnp.where(sel, pdf_c, pdf)
+
+    if MAT_WARD in families:
+        sel = mtype == float(MAT_WARD)
+        au = jnp.maximum(mat_param(9), 1e-3)
+        av = jnp.maximum(mat_param(10), 1e-3)
+        sd = jnp.maximum(jnp.maximum(mat_param(0), mat_param(1)),
+                         mat_param(2))
+        ss = jnp.maximum(jnp.maximum(mat_param(3), mat_param(4)),
+                         mat_param(5))
+        prob_s = ss / jnp.maximum(sd + ss, 1e-7)
+        pick_s = uc < prob_s
+        # cos/sin of atan2(av·s0, au·c0) computed directly (no atan2
+        # lowering in Mosaic): cp = au·c0/h, sp = av·s0/h
+        c0 = jnp.cos(2.0 * np.pi * u1)
+        s0 = jnp.sin(2.0 * np.pi * u1)
+        hyp = jnp.sqrt(jnp.maximum((au * c0) ** 2 + (av * s0) ** 2,
+                                   1e-20))
+        cp, sp = au * c0 / hyp, av * s0 / hyp
+        t2 = -jnp.log(jnp.maximum(u0, 1e-7)) \
+            / ((cp / au) ** 2 + (sp / av) ** 2)
+        cth = 1.0 / jnp.sqrt(1.0 + t2)
+        sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+        hx_, hy_, hz_ = sth * cp, sth * sp, cth
+        wih = wix * hx_ + wiy * hy_ + wiz * hz_
+        wsx = 2.0 * wih * hx_ - wix
+        wsy = 2.0 * wih * hy_ - wiy
+        wsz = 2.0 * wih * hz_ - wiz
+        pwx = jnp.where(pick_s, wsx, sxd)
+        pwy = jnp.where(pick_s, wsy, syd)
+        pwz = jnp.where(pick_s, wsz, szd)
+        valid = (wiz > 0.0) & (pwz > 0.0)
+        # pdf/eval at the chosen wo (ward_pdf/ward_eval)
+        shx, shy, shz = wix + pwx, wiy + pwy, wiz + pwz
+        hnx, hny, hnz = _normalize3(shx, shy, shz)
+        exn = -((hnx / au) ** 2 + (hny / av) ** 2) \
+            / jnp.maximum(hnz * hnz, 1e-12)
+        pdf_h = jnp.exp(exn) / (np.pi * au * av
+                                * jnp.maximum(hnz * hnz * hnz, 1e-6))
+        pdf_s = pdf_h / jnp.maximum(
+            4.0 * jnp.abs(pwx * hnx + pwy * hny + pwz * hnz), 1e-6)
+        pdf_c = jnp.where(valid,
+                          prob_s * pdf_s + (1.0 - prob_s) * pwz * INV_PI,
+                          0.0)
+        exe = -((shx / au) ** 2 + (shy / av) ** 2) \
+            / jnp.maximum(shz * shz, 1e-12)
+        spec = (jnp.exp(exe) / (4.0 * np.pi * au * av
+                                * jnp.maximum(
+                                    jnp.sqrt(jnp.maximum(wiz * pwz, 0.0)),
+                                    1e-6)))
+        vf = valid.astype(jnp.float32)
+        wgate = (pdf_c > 1e-6).astype(jnp.float32) * vf \
+            / jnp.maximum(pdf_c, 1e-6)
+        nwx = jnp.where(sel, pwx, nwx)
+        nwy = jnp.where(sel, pwy, nwy)
+        nwz = jnp.where(sel, pwz, nwz)
+        w_r = jnp.where(sel, (mat_param(0) * INV_PI * pwz
+                              + mat_param(3) * spec * pwz) * wgate, w_r)
+        w_g = jnp.where(sel, (mat_param(1) * INV_PI * pwz
+                              + mat_param(4) * spec * pwz) * wgate, w_g)
+        w_b = jnp.where(sel, (mat_param(2) * INV_PI * pwz
+                              + mat_param(5) * spec * pwz) * wgate, w_b)
+        pdf = jnp.where(sel, pdf_c, pdf)
+
+    if MAT_THIN_DIELECTRIC in families:
+        # thin slab: delta reflect/pass-through with internal-bounce
+        # compensation (bsdf.py thindielectric_sample)
+        sel = mtype == float(MAT_THIN_DIELECTRIC)
+        eta = jnp.maximum(mat_param(0), 1e-3)
+        f0 = _fresnel_diel_f(jnp.abs(wiz), eta)
+        f = jnp.where(f0 < 1.0,
+                      f0 + (1.0 - f0) * (1.0 - f0) * f0
+                      / jnp.maximum(1.0 - f0 * f0, 1e-7), f0)
+        pick_r = uc < f
+        nwx = jnp.where(sel, -wix, nwx)
+        nwy = jnp.where(sel, -wiy, nwy)
+        nwz = jnp.where(sel, jnp.where(pick_r, wiz, -wiz), nwz)
+        s = sel.astype(jnp.float32)
+        w_r = jnp.where(sel, s * jnp.where(pick_r, mat_param(1),
+                                           mat_param(4)), w_r)
+        w_g = jnp.where(sel, s * jnp.where(pick_r, mat_param(2),
+                                           mat_param(5)), w_g)
+        w_b = jnp.where(sel, s * jnp.where(pick_r, mat_param(3),
+                                           mat_param(6)), w_b)
+        pdf = jnp.where(sel, jnp.where(pick_r, f, 1.0 - f), pdf)
+        is_delta = is_delta | sel
+
+    if MAT_DIFFTRANS in families:
+        # diffuse transmitter: cosine lobe on the far side
+        sel = mtype == float(MAT_DIFFTRANS)
+        sgnw = jnp.where(wiz >= 0.0, 1.0, -1.0)
+        okz = jnp.abs(wiz) > 0.0
+        s = (sel & okz).astype(jnp.float32)
+        nwx = jnp.where(sel, sxd, nwx)
+        nwy = jnp.where(sel, syd, nwy)
+        nwz = jnp.where(sel, -sgnw * szd, nwz)
+        w_r = jnp.where(sel, s * mat_param(0), w_r)
+        w_g = jnp.where(sel, s * mat_param(1), w_g)
+        w_b = jnp.where(sel, s * mat_param(2), w_b)
+        pdf = jnp.where(sel, s * szd * INV_PI, pdf)
+
+    if MAT_NULL in families:
+        # pass-through (bsdf.py null_sample)
+        sel = mtype == float(MAT_NULL)
+        nwx = jnp.where(sel, -wix, nwx)
+        nwy = jnp.where(sel, -wiy, nwy)
+        nwz = jnp.where(sel, -wiz, nwz)
+        one = jnp.ones_like(wix)
+        w_r = jnp.where(sel, one, w_r)
+        w_g = jnp.where(sel, one, w_g)
+        w_b = jnp.where(sel, one, w_b)
+        pdf = jnp.where(sel, one, pdf)
+        is_delta = is_delta | sel
 
     if MAT_DIELECTRIC in families:
         # smooth glass: delta reflect/refract, two-sided (mirrors

@@ -23,7 +23,7 @@ import numpy as np
 from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
                                 MEGA_FAMILIES, MegaTables, N_STATE,
                                 build_mega_tables, run_path)
-from ..scene.scene import EM_AREA, EM_CONSTANT, SceneData
+from ..scene.scene import EM_CONSTANT, SceneData
 from .path import PathTracer
 
 
@@ -42,12 +42,13 @@ class MegaPathTracer(PathTracer):
         """(ok, reason): can this scene/camera/film run on the fused
         megakernel with results matching PathTracer + box-filter Film?
         Used by the CLI to auto-select the fast path on TPU."""
+        from ..accel.megakernel import MEGA_EM_TYPES
         from ..sensor.sensor import PerspectiveCamera
         em_types = np.asarray(scene.em_type)
         n_const = int((em_types == EM_CONSTANT).sum())
-        if n_const > 1 or int((em_types == EM_AREA).sum()) + n_const \
-                != len(em_types):
-            return False, "non-area/constant emitter"
+        bad_em = set(int(t) for t in em_types) - MEGA_EM_TYPES
+        if n_const > 1 or bad_em:
+            return False, f"unsupported emitter types {bad_em or 'env×2'}"
         fams = set(int(x) for x in np.unique(np.asarray(scene.mat_type)))
         if fams - MEGA_FAMILIES:
             return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
@@ -84,12 +85,14 @@ class MegaPathTracer(PathTracer):
                 f"pblock={pblock} is not divisible by sublanes={sublanes}; "
                 "each persistent block is [sublanes, pblock//sublanes] and "
                 "needs an exact factorization")
+        from ..accel.megakernel import MEGA_EM_TYPES
         em_types = np.asarray(scene.em_type)
-        n_area = int((em_types == EM_AREA).sum())
         n_const = int((em_types == EM_CONSTANT).sum())
-        assert n_const <= 1 and n_area + n_const == len(em_types), (
-            "megakernel supports area emitters + optional constant env; "
-            "use PathTracer for point/spot/directional/envmap scenes")
+        bad_em = set(int(t) for t in em_types) - MEGA_EM_TYPES
+        assert n_const <= 1 and not bad_em, (
+            f"megakernel emitter chain lacks types {bad_em} "
+            "(area/constant/point/spot/directional supported); use "
+            "PathTracer for envmap scenes")
         env = np.zeros(3)
         env_pmf = 0.0
         for i, t in enumerate(em_types):

@@ -186,9 +186,139 @@ def test_mega_rejects_unsupported_family():
     from mitsuba_tpu.scene.presets import cornell_box
 
     d = cornell_box()
-    pl = d.add_material(kind="plastic")
+    pl = d.add_material(kind="roughdielectric", alpha=0.2)
     from mitsuba_tpu.scene import shapes
     d.add_shape(shapes.sphere(4, 8), material=pl)
     scene = compile_scene(d, cluster_size=64)
     with pytest.raises(ValueError, match="families"):
         MegaPathTracer.for_scene(scene)
+
+
+def _li_pair(scene, cam_origin, n=4096, depth=6, seed=11):
+    """(L_wavefront, L_mega) over a random hemisphere of primary rays."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.integrator.path import PathTracer
+
+    rs = np.random.RandomState(seed)
+    o = jnp.asarray(np.tile(cam_origin, (n, 1)), jnp.float32)
+    dirs = rs.randn(n, 3) * [0.5, 0.4, 0.25] + [0, -0.1, -1.0]
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dv = jnp.asarray(dirs, jnp.float32)
+    px = jnp.arange(n, dtype=jnp.uint32)
+    ref = PathTracer(max_depth=depth,
+                     cluster_size=64).specialized_for(scene)
+    mega = MegaPathTracer.for_scene(scene, max_depth=depth)
+    L_ref = np.asarray(jax.jit(
+        lambda: ref.li(scene, o, dv, jnp.uint32(3), px, 0))())
+    L_m = np.asarray(jax.jit(
+        lambda: mega.li(scene, o, dv, jnp.uint32(3), px, 0))())
+    return L_ref, L_m
+
+
+def _assert_close(L_ref, L_m, frac=0.02, mean_tol=8e-3):
+    rel = np.abs(L_ref - L_m) / np.maximum(L_ref, 1e-2)
+    assert (rel > 1e-2).mean() < frac, (rel > 1e-2).mean()
+    ref_mean = max(L_ref.mean(), 1e-4)
+    assert abs(L_ref.mean() - L_m.mean()) / ref_mean < mean_tol, (
+        L_ref.mean(), L_m.mean())
+
+
+def test_mega_new_families_match_path():
+    """Round-4 in-kernel families: plastic / phong / ward / Oren-Nayar
+    rough diffuse vs the XLA wavefront (same streams)."""
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    mats = [
+        d.add_material(kind="plastic",
+                       diffuse_reflectance=(0.5, 0.2, 0.2)),
+        d.add_material(kind="phong",
+                       diffuse_reflectance=(0.3, 0.4, 0.2),
+                       specular_reflectance=(0.4, 0.4, 0.4),
+                       exponent=40.0),
+        d.add_material(kind="ward",
+                       diffuse_reflectance=(0.3, 0.3, 0.4),
+                       specular_reflectance=(0.3, 0.3, 0.3),
+                       alpha=0.15, alpha_v=0.3),
+        d.add_material(kind="roughdiffuse", albedo=(0.6, 0.5, 0.4),
+                       alpha=0.4),
+    ]
+    floor = d.add_material(kind="diffuse", albedo=(0.6, 0.6, 0.6))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    for i, m in enumerate(mats):
+        d.add_shape(shapes.sphere(12, 24),
+                    to_world=tfm.translate([1.7 * i - 2.5, 0, 0])
+                    @ tfm.scale([0.7] * 3), material=m)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2.0] * 3),
+                material=floor, radiance=(12.0, 11.0, 10.0))
+    scene = compile_scene(d, cluster_size=64)
+    L_ref, L_m = _li_pair(scene, [0.0, 1.0, 6.0])
+    _assert_close(L_ref, L_m)
+
+
+def test_mega_thin_difftrans_null_match_path():
+    """Delta/transmissive round-4 families: thindielectric, difftrans,
+    null panes between camera and light."""
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    thin = d.add_material(kind="thindielectric", int_ior=1.5)
+    dt = d.add_material(kind="difftrans", transmittance=(0.6, 0.5, 0.4))
+    nul = d.add_material(kind="null")
+    floor = d.add_material(kind="diffuse", albedo=(0.6, 0.6, 0.6))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    for i, m in enumerate((thin, dt, nul)):
+        d.add_shape(shapes.rectangle(),
+                    to_world=tfm.translate([2.2 * i - 2.2, 0.5, 0])
+                    @ tfm.scale([0.9] * 3), material=m)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2.0] * 3),
+                material=floor, radiance=(12.0, 11.0, 10.0))
+    scene = compile_scene(d, cluster_size=64)
+    L_ref, L_m = _li_pair(scene, [0.0, 0.7, 5.0])
+    _assert_close(L_ref, L_m)
+
+
+def test_mega_delta_emitters_match_path():
+    """Point + spot + directional emitters through the in-kernel NEE
+    chain vs the XLA wavefront."""
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import (DirectionalLight, PointLight,
+                                           SceneDesc, SpotLight,
+                                           compile_scene)
+
+    d = SceneDesc()
+    floor = d.add_material(kind="diffuse", albedo=(0.6, 0.55, 0.5))
+    ggx = d.add_material(kind="roughconductor", alpha=0.2)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    d.add_shape(shapes.sphere(16, 32), material=ggx)
+    d.point_lights.append(PointLight(position=[2.0, 3.0, 1.0],
+                                     intensity=[30.0, 28.0, 25.0]))
+    d.spot_lights.append(SpotLight(position=[-2.0, 3.0, 1.0],
+                                   direction=[0.5, -1.0, -0.2],
+                                   intensity=[40.0, 40.0, 40.0],
+                                   cutoff_angle=30.0, beam_width=20.0))
+    d.directional_lights.append(DirectionalLight(
+        direction=[-0.3, -1.0, -0.4], irradiance=[0.8, 0.8, 0.9]))
+    scene = compile_scene(d, cluster_size=64)
+    L_ref, L_m = _li_pair(scene, [0.0, 1.0, 5.0])
+    _assert_close(L_ref, L_m)
