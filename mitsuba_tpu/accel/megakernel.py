@@ -90,6 +90,7 @@ DEF_PBLOCK = 16384    # total lanes (S*B) per grid step in run_persistent
 SENSOR_DIMS = 4
 DIMS_PER_BOUNCE = 8
 DIM_NEE_SEL, DIM_NEE_POS, DIM_BSDF_U2, DIM_BSDF_U1, DIM_RR = 0, 1, 2, 3, 4
+DIM_MEDIUM, DIM_PHASE = 5, 6
 
 N_ATTR = 24           # slim per-triangle attrs: ng xyz (0:3), mat_id (3),
                       # em_id (4), vn0 xyz (5:8), vn1-vn0 (8:11),
@@ -542,14 +543,23 @@ def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
 def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
                  m_real, et_real, n_em, smooth, woop_ref, aabb_ref,
                  attr_ref, mat_sm, em_sm, em_meta, consts, pixel, samp,
-                 seed, bounce, rows):
+                 seed, bounce, rows, medium=None):
     """One path-tracer bounce over [S, B] shading blocks.
 
     rows: tuple of 16 [S, B] f32 blocks (o xyz, d xyz, throughput rgb,
     L rgb, active, prev_pdf, prev_delta, eta_scale). pixel/samp: [S, B]
     int32. bounce: int32 scalar or [S, B] block. mat_sm/em_sm are SMEM
     refs read as broadcast scalars. Returns (new 16-row tuple,
-    trace_count [S, B], shadow_count [S, B])."""
+    trace_count [S, B], shadow_count [S, B]).
+
+    `medium`: None, or a static 8-tuple (sigma_t rgb, albedo rgb, g,
+    bound) of Python floats — compiles in the global homogeneous-medium
+    branch with VolPathTracer semantics (ref: volpath.cpp:104-181,
+    homogeneous.cpp:157-223 balance strategy; integrator/volpath.py is
+    the lane-parity target): per bounce the lane first samples a medium
+    interaction against the surface distance, then takes either the
+    HG-phase medium branch or the standard surface branch, with NEE
+    shadow rays attenuated by the closed-form transmittance."""
     (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, lr, lg, lb,
      active_f, prev_pdf, prev_delta_f, eta_scale) = rows
     s_blocks = ox.shape[0]
@@ -584,9 +594,50 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     mat_id = gather(3)
     em_id = gather(4)
 
-    hit = active & (t_best < _MISS)
+    hit_geo = active & (t_best < _MISS)
     t_safe = jnp.where(t_best < _MISS, t_best, 1.0)
     px_, py_, pz_ = (ox + t_safe * dx, oy + t_safe * dy, oz + t_safe * dz)
+
+    # ---- homogeneous-medium distance sampling (balance strategy:
+    # uniform channel pick, t ∝ σt_c e^{-σt_c t}, channel-averaged
+    # success/failure pdfs — media/homogeneous.py sample_distance) ----
+    if medium is not None:
+        (mst_r, mst_g, mst_b, mal_r, mal_g, mal_b, m_g, m_bound) = medium
+        u_mc, u_md = _rng2(seed, pixel, dim_base + DIM_MEDIUM, samp)
+        ch = jnp.minimum(jnp.floor(u_mc * 3.0), 2.0)
+        sig_c = jnp.maximum(
+            jnp.where(ch == 0.0, mst_r,
+                      jnp.where(ch == 1.0, mst_g, mst_b)), 1e-8)
+        t_med = -jnp.log1p(-jnp.clip(u_md, 0.0, 1.0 - 1e-7)) / sig_c
+        t_surf = jnp.where(hit_geo, t_best, 1e30)
+        seg_end = jnp.minimum(t_surf, m_bound)
+        sampled = t_med < seg_end
+        in_med = active & sampled
+        hit = hit_geo & ~sampled              # surface-event lanes
+        escaped = active & ~hit_geo & ~sampled
+        tt_r = jnp.exp(-jnp.minimum(mst_r * t_med, 80.0))
+        tt_g = jnp.exp(-jnp.minimum(mst_g * t_med, 80.0))
+        tt_b = jnp.exp(-jnp.minimum(mst_b * t_med, 80.0))
+        ts_r = jnp.exp(-jnp.minimum(mst_r * seg_end, 80.0))
+        ts_g = jnp.exp(-jnp.minimum(mst_g * seg_end, 80.0))
+        ts_b = jnp.exp(-jnp.minimum(mst_b * seg_end, 80.0))
+        third = jnp.float32(1.0 / 3.0)
+        pdf_succ = jnp.maximum(
+            (mst_r * tt_r + mst_g * tt_g + mst_b * tt_b) * third, 1e-20)
+        pdf_fail = jnp.maximum((ts_r + ts_g + ts_b) * third, 1e-20)
+        imf = in_med.astype(jnp.float32)
+        # w_medium = σs·Tr(t)/pdfSuccess; w_surface = Tr(ts)/pdfFailure
+        seg_w = lambda st, al, tt, ts: \
+            imf * (st * al * tt / pdf_succ) + (1.0 - imf) * (ts / pdf_fail)
+        tpr = tpr * seg_w(mst_r, mal_r, tt_r, ts_r)
+        tpg = tpg * seg_w(mst_g, mal_g, tt_g, ts_g)
+        tpb = tpb * seg_w(mst_b, mal_b, tt_b, ts_b)
+        pex = ox + t_med * dx                 # medium event point
+        pey = oy + t_med * dy
+        pez = oz + t_med * dz
+    else:
+        in_med = None
+        hit = hit_geo
 
     # ---- material row via SMEM-scalar select chain --------------------
     # (replaces the one-hot MXU matmul: with state on [S, B] blocks the
@@ -604,7 +655,8 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # consts: constant-env radiance + its pick pmf (0 when no env)
     (env_r, env_g, env_b, env_pmf) = consts[:4]
 
-    escaped = active & (t_best >= _MISS)
+    if medium is None:
+        escaped = active & (t_best >= _MISS)
     inv4pi = jnp.float32(1.0 / (4.0 * np.pi))
     env_pdf = env_pmf * inv4pi
     mis_env = jnp.where(prev_delta, 1.0, _mis(prev_pdf, env_pdf))
@@ -649,6 +701,14 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     wil_z = -(dx * nsx + dy * nsy + dz * nsz)
 
     # ---- NEE ------------------------------------------------------------
+    # event point: the medium scatter point for medium lanes, else the
+    # surface hit (volpath.py p_event)
+    if medium is not None:
+        qx = jnp.where(in_med, pex, px_)
+        qy = jnp.where(in_med, pey, py_)
+        qz = jnp.where(in_med, pez, pz_)
+    else:
+        qx, qy, qz = px_, py_, pz_
     u_sel, _ = _rng2(seed, pixel, dim_base + DIM_NEE_SEL, samp)
     up0, up1 = _rng2(seed, pixel, dim_base + DIM_NEE_POS, samp)
     # emitter pick ∝ pmf via the SMEM meta chain (DiscreteDistribution
@@ -688,7 +748,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     ply = em_val(1) + b0 * em_val(4) + b1 * em_val(7)
     plz = em_val(2) + b0 * em_val(5) + b1 * em_val(8)
     nlx, nly, nlz = em_val(9), em_val(10), em_val(11)
-    tlx, tly, tlz = plx - px_, ply - py_, plz - pz_
+    tlx, tly, tlz = plx - qx, ply - qy, plz - qz
     ld2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-12)
     ldist_a = jnp.sqrt(ld2)
     lax_, lay, laz = tlx / ldist_a, tly / ldist_a, tlz / ldist_a
@@ -723,7 +783,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     is_dir_sel = etype_k == float(EM_DIRECTIONAL)
     is_delta_sel = is_point_sel | is_dir_sel
     epx, epy, epz = em_pick(8), em_pick(9), em_pick(10)
-    tqx, tqy, tqz = epx - px_, epy - py_, epz - pz_
+    tqx, tqy, tqz = epx - qx, epy - qy, epz - qz
     pd2 = jnp.maximum(tqx * tqx + tqy * tqy + tqz * tqz, 1e-12)
     pdist = jnp.sqrt(pd2)
     dqx, dqy, dqz = tqx / pdist, tqy / pdist, tqz / pdist
@@ -750,7 +810,8 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
                          jnp.where(is_point_sel, em_pick(5) * inv_pd2,
                                    le_nee_b))
 
-    # shadow ray (offset along geometric normal)
+    # shadow ray (offset along geometric normal; medium lanes shoot
+    # straight from the scatter point — volpath.py `so`)
     sgn = jnp.where(ldx * ngx + ldy * ngy + ldz * ngz >= 0.0, 1.0, -1.0)
     eps_o = 1e-4 * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(px_),
                                                   jnp.abs(py_)),
@@ -758,6 +819,10 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     sox = px_ + sgn * eps_o * ngx
     soy = py_ + sgn * eps_o * ngy
     soz = pz_ + sgn * eps_o * ngz
+    if medium is not None:
+        sox = jnp.where(in_med, pex, sox)
+        soy = jnp.where(in_med, pey, soy)
+        soz = jnp.where(in_med, pez, soz)
     smint = 1e-4 * (1.0 + jnp.maximum(jnp.maximum(jnp.abs(sox),
                                                   jnp.abs(soy)),
                                       jnp.abs(soz)))
@@ -779,17 +844,39 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     f_r, f_g, f_b, pdf_fwd = _bsdf_eval_pdf(
         families, mat_param, mtype, wil_x, wil_y, wil_z,
         wol_x, wol_y, wol_z)
+    # medium lanes: HG phase value replaces the BSDF toward the light
+    # (exact importance sampling → counter pdf = value; volpath.py
+    # f_phase/pdf_phase_nee)
+    if medium is not None:
+        cos_ph = -(dx * ldx + dy * ldy + dz * ldz)
+        g2 = m_g * m_g
+        den = jnp.maximum(1.0 + g2 + 2.0 * m_g * cos_ph, 1e-8)
+        f_ph = inv4pi * (1.0 - g2) / (den * jnp.sqrt(den))
+        f_r = jnp.where(in_med, f_ph, f_r)
+        f_g = jnp.where(in_med, f_ph, f_g)
+        f_b = jnp.where(in_med, f_ph, f_b)
+        pdf_fwd = jnp.where(in_med, f_ph, pdf_fwd)
     # delta emitters can't be BSDF-sampled: MIS weight 1 (path.py w_nee)
     mis_nee = jnp.where(is_delta_sel, 1.0, _mis(pdf_nee, pdf_fwd))
     # skip NEE when the connection vertex would exceed maxDepth
     # (path.cpp:169-180 via integrator/path.py nee_allowed)
-    nee_ok = hit if max_depth <= 0 else \
-        hit & (depth + 1.0 <= float(max_depth) + 1.0)
+    event = hit if medium is None else hit | in_med
+    nee_ok = event if max_depth <= 0 else \
+        event & (depth + 1.0 <= float(max_depth) + 1.0)
     contrib = (nee_ok & lit & (pdf_nee > 0.0)).astype(jnp.float32) \
         * mis_nee / jnp.maximum(pdf_nee, 1e-12)
-    lr = lr + tpr * le_nee_r * f_r * contrib
-    lg = lg + tpg * le_nee_g * f_g * contrib
-    lb = lb + tpb * le_nee_b * f_b * contrib
+    # NEE attenuated by the medium transmittance over min(dist, bound)
+    # on top of surface occlusion (Scene::evalTransmittance semantics)
+    if medium is not None:
+        dcl = jnp.minimum(ldist, m_bound)
+        trs_r = jnp.exp(-jnp.minimum(mst_r * dcl, 80.0))
+        trs_g = jnp.exp(-jnp.minimum(mst_g * dcl, 80.0))
+        trs_b = jnp.exp(-jnp.minimum(mst_b * dcl, 80.0))
+    else:
+        trs_r = trs_g = trs_b = 1.0
+    lr = lr + tpr * le_nee_r * f_r * trs_r * contrib
+    lg = lg + tpg * le_nee_g * f_g * trs_g * contrib
+    lb = lb + tpb * le_nee_b * f_b * trs_b * contrib
 
     # ---- BSDF sample ----------------------------------------------------
     ub0, ub1 = _rng2(seed, pixel, dim_base + DIM_BSDF_U2, samp)
@@ -802,10 +889,41 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     ndy = nwx * sy + nwy * ty_ + nwz * nsy
     ndz = nwx * sz + nwy * tz_ + nwz * nsz
 
+    # medium lanes continue with an HG-sampled direction (exact inverse
+    # CDF, hg.cpp:79-90 via phase.py hg_sample: frame about -wi = d),
+    # weight = eval/pdf = 1
+    if medium is not None:
+        up0_, up1_ = _rng2(seed, pixel, dim_base + DIM_PHASE, samp)
+        if abs(m_g) < 1e-4:
+            cos_t = jnp.clip(1.0 - 2.0 * up0_, -1.0, 1.0)
+        else:
+            sqr = (1.0 - m_g * m_g) / (1.0 - m_g + 2.0 * m_g * up0_)
+            cos_t = jnp.clip((1.0 + m_g * m_g - sqr * sqr)
+                             / (2.0 * m_g), -1.0, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phph = jnp.float32(2.0 * np.pi) * up1_
+        (psx, psy, psz), (ptx, pty, ptz) = _coordsys(dx, dy, dz)
+        sc, ss = sin_t * jnp.cos(phph), sin_t * jnp.sin(phph)
+        pwx = sc * psx + ss * ptx + cos_t * dx
+        pwy = sc * psy + ss * pty + cos_t * dy
+        pwz = sc * psz + ss * ptz + cos_t * dz
+        cos_pdf = -(dx * pwx + dy * pwy + dz * pwz)
+        den_p = jnp.maximum(1.0 + m_g * m_g + 2.0 * m_g * cos_pdf, 1e-8)
+        pdf_ph = inv4pi * (1.0 - m_g * m_g) / (den_p * jnp.sqrt(den_p))
+        ndx = jnp.where(in_med, pwx, ndx)
+        ndy = jnp.where(in_med, pwy, ndy)
+        ndz = jnp.where(in_med, pwz, ndz)
+        w_r = jnp.where(in_med, 1.0, w_r)
+        w_g = jnp.where(in_med, 1.0, w_g)
+        w_b = jnp.where(in_med, 1.0, w_b)
+        pdf_b = jnp.where(in_med, pdf_ph, pdf_b)
+        is_delta = is_delta & ~in_med
+        eta_ev = jnp.where(in_med, 1.0, eta_ev)
+
     tp_r = tpr * w_r
     tp_g = tpg * w_g
     tp_b = tpb * w_b
-    alive = hit & (pdf_b > 0.0) \
+    alive = event & (pdf_b > 0.0) \
         & ((tp_r > 0.0) | (tp_g > 0.0) | (tp_b > 0.0))
     if max_depth > 0:
         alive = alive & (depth <= float(max_depth))
@@ -814,7 +932,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # eta_scale accumulates the sampled events' relative IOR (identity
     # except on dielectric refraction), matching the XLA path's
     # eta_scale_next = eta_scale * bs.eta BEFORE the RR probability
-    eta_scale = jnp.where(hit, eta_scale * eta_ev, eta_scale)
+    eta_scale = jnp.where(event, eta_scale * eta_ev, eta_scale)
     u_rr, _ = _rng2(seed, pixel, dim_base + DIM_RR, samp)
     tp_max = jnp.maximum(jnp.maximum(tp_r, tp_g), tp_b)
     q = jnp.minimum(tp_max * eta_scale * eta_scale, 0.95)
@@ -828,9 +946,16 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
 
     af = alive.astype(jnp.float32)
     sgn_n = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0, 1.0, -1.0)
+    o_nx = px_ + sgn_n * eps_o * ngx
+    o_ny = py_ + sgn_n * eps_o * ngy
+    o_nz = pz_ + sgn_n * eps_o * ngz
+    if medium is not None:
+        # medium lanes continue from the scatter point, no offset
+        o_nx = jnp.where(in_med, pex, o_nx)
+        o_ny = jnp.where(in_med, pey, o_ny)
+        o_nz = jnp.where(in_med, pez, o_nz)
     new_rows = (
-        px_ + sgn_n * eps_o * ngx, py_ + sgn_n * eps_o * ngy,
-        pz_ + sgn_n * eps_o * ngz,
+        o_nx, o_ny, o_nz,
         jnp.where(alive, ndx, dx), jnp.where(alive, ndy, dy),
         jnp.where(alive, ndz, dz),
         tp_r * af, tp_g * af, tp_b * af,
@@ -854,7 +979,8 @@ def _state_to_rows(st):
 
 def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
                        families: tuple, rr_depth: int, max_depth: int,
-                       m_real: int, et_real: int, smooth: bool):
+                       m_real: int, et_real: int, smooth: bool,
+                       medium=None):
     """Single-bounce kernel (one pallas_call per bounce; kept for
     incremental/debug use — run_path/run_persistent are the fast paths)."""
 
@@ -871,7 +997,7 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
             et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
             mat_ref, em_ref, em_meta_ref, consts, pix_ref[:],
             samp_ref[:], meta_ref[0], meta_ref[2],
-            _state_to_rows(st_in_ref[:]))
+            _state_to_rows(st_in_ref[:]), medium=medium)
         st_out_ref[:] = jnp.concatenate(list(new_rows) + [s_tr, s_sh],
                                         axis=0)
 
@@ -881,7 +1007,7 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
 def make_path_kernel(tc: int, c_clusters: int, em_count: int,
                      families: tuple, rr_depth: int, max_depth: int,
                      m_real: int, et_real: int, smooth: bool,
-                     n_bounces: int):
+                     n_bounces: int, medium=None):
     """Whole-path megakernel: the ENTIRE bounce loop runs inside one Pallas
     program. Path state lives in VMEM/vector registers for all bounces —
     zero inter-bounce HBM traffic, one dispatch per render pass — and the
@@ -913,7 +1039,7 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
                 et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
                 mat_ref, em_ref, em_meta_ref, consts, pixel, samp,
-                seed, i, _state_to_rows(st))
+                seed, i, _state_to_rows(st), medium=medium)
             return i + 1, jnp.concatenate(new_rows, axis=0), s0 + t0, \
                 s1 + t1
 
@@ -945,10 +1071,10 @@ def _table_specs(tables: MegaTables):
 
 @functools.partial(jax.jit,
                    static_argnames=("tables", "families", "rr_depth",
-                                    "max_depth", "block"))
+                                    "max_depth", "block", "medium"))
 def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
                meta_consts, state, pixel, samp, meta_u32,
-               block=DEF_BLOCK):
+               block=DEF_BLOCK, medium=None):
     """One fused bounce over the wavefront.
 
     state: [16, Npad]; pixel/samp [1, Npad] int32; meta_u32 [4] int32
@@ -960,7 +1086,7 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
     kernel = make_bounce_kernel(tables.tc, c_clusters, tables.em_count,
                                 families, rr_depth, max_depth,
                                 tables.m_real, tables.et_real,
-                                tables.smooth)
+                                tables.smooth, medium=medium)
     grid = (n // block,)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
@@ -986,9 +1112,11 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
 
 @functools.partial(jax.jit,
                    static_argnames=("tables", "families", "rr_depth",
-                                    "max_depth", "n_bounces", "block"))
+                                    "max_depth", "n_bounces", "block",
+                                    "medium"))
 def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
-             meta_consts, state, pixel, samp, meta_u32, block=DEF_BLOCK):
+             meta_consts, state, pixel, samp, meta_u32, block=DEF_BLOCK,
+             medium=None):
     """Full path trace in ONE fused kernel (all bounces, early exit).
 
     Same inputs as run_bounce minus the per-bounce meta; returns
@@ -998,7 +1126,7 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
     kernel = make_path_kernel(tables.tc, c_clusters, tables.em_count,
                               families, rr_depth, max_depth,
                               tables.m_real, tables.et_real,
-                              tables.smooth, n_bounces)
+                              tables.smooth, n_bounces, medium=medium)
     grid = (n // block,)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
@@ -1584,7 +1712,7 @@ DIM_PIXEL = 0    # sensor jitter dim (mirrors integrator/common.py)
 def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                            families: tuple, rr_depth: int, max_depth: int,
                            m_real: int, et_real: int, smooth: bool,
-                           spp: int, iter_cap: int):
+                           spp: int, iter_cap: int, medium=None):
     """consts layout: [0:9] scene consts (as the other kernels), then the
     in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
     cam position, [21] tan_half, [22] aspect, [23] width, [24] height."""
@@ -1637,7 +1765,7 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
                 et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
                 mat_ref, em_ref, em_meta_ref, consts, pixel, samp,
-                seed, bounce, rows[:16])
+                seed, bounce, rows[:16], medium=medium)
             was_active = rows[12] > 0.5
             now_active = new16[12] > 0.5
             died = was_active & ~now_active
@@ -1690,10 +1818,11 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
 @functools.partial(jax.jit,
                    static_argnames=("tables", "families", "rr_depth",
                                     "max_depth", "spp", "block",
-                                    "sublanes", "iter_cap"))
+                                    "sublanes", "iter_cap", "medium"))
 def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
                    consts_cam, state, pixel, samp0, meta_u32,
-                   block=DEF_PBLOCK, sublanes=DEF_SUBLANES, iter_cap=0):
+                   block=DEF_PBLOCK, sublanes=DEF_SUBLANES, iter_cap=0,
+                   medium=None):
     """Persistent path-regeneration render: every lane completes exactly
     `spp` paths of its pixel.
 
@@ -1716,7 +1845,7 @@ def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
                                     tables.em_count, families, rr_depth,
                                     max_depth, tables.m_real,
                                     tables.et_real, tables.smooth,
-                                    spp, cap)
+                                    spp, cap, medium=medium)
     grid = (n // b,)
     col3 = pl.BlockSpec((N_PSTATE, s, b), lambda r: (0, 0, r),
                         memory_space=pltpu.VMEM)

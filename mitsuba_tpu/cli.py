@@ -122,17 +122,23 @@ def _render_one(args, scene_path: str) -> int:
     # the wavefront throughput on small scenes; estimator and RNG
     # streams identical — tests/test_mega_tpu.py)
     mega = None
-    if (mesh is None and type(integ).__name__ == "PathTracer"
+    if (mesh is None
+            and type(integ).__name__ in ("PathTracer", "VolPathTracer")
             and loaded.sampler == "independent"
             and not getattr(integ, "hide_emitters", False)):
         import jax
         if jax.default_backend() != "cpu":
             from .integrator.mega import (MegaPathTracer,
+                                          MegaVolPathTracer,
                                           render_persistent)
-            ok, why = MegaPathTracer.supports(scene, loaded.camera,
-                                              loaded.film)
+            # volpath scenes with a global homogeneous medium compile
+            # the medium branch into the same persistent kernel
+            klass = MegaVolPathTracer \
+                if type(integ).__name__ == "VolPathTracer" \
+                else MegaPathTracer
+            ok, why = klass.supports(scene, loaded.camera, loaded.film)
             if ok:
-                mega = MegaPathTracer.for_scene(
+                mega = klass.for_scene(
                     scene, max_depth=integ.max_depth,
                     rr_depth=integ.rr_depth)
                 log.info("Using the fused persistent megakernel")

@@ -35,10 +35,13 @@ class MegaPathTracer(PathTracer):
     block: int = DEF_BLOCK      # lanes per run_path block ([16, B] rows)
     pblock: int = DEF_PBLOCK    # total lanes (S·B) per persistent block
     sublanes: int = DEF_SUBLANES  # S rows per persistent shading block
+    # static (σt rgb, albedo rgb, g, bound) of the global homogeneous
+    # medium, or None — compiles in the volpath medium branch
+    medium: tuple | None = None
 
     @staticmethod
-    def supports(scene: SceneData, camera=None, film=None
-                 ) -> tuple[bool, str]:
+    def supports(scene: SceneData, camera=None, film=None,
+                 allow_medium=False) -> tuple[bool, str]:
         """(ok, reason): can this scene/camera/film run on the fused
         megakernel with results matching PathTracer + box-filter Film?
         Used by the CLI to auto-select the fast path on TPU."""
@@ -53,7 +56,16 @@ class MegaPathTracer(PathTracer):
         if fams - MEGA_FAMILIES:
             return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
         if bool(np.asarray(scene.has_medium)):
-            return False, "participating medium"
+            if not allow_medium:
+                return False, "participating medium"
+            if np.asarray(scene.med_grid).size != 1:
+                return False, "heterogeneous medium"
+            # builder stores all-zero rows for isotropic media
+            if (scene.med_sggx is not None
+                    and np.any(np.asarray(scene.med_sggx))) or \
+                    (scene.med_fiber is not None
+                     and np.any(np.asarray(scene.med_fiber))):
+                return False, "anisotropic (SGGX/fiber) medium"
         mp = np.asarray(scene.mat_params)
         if (np.asarray(scene.mat_tex) >= 0).any() or \
                 (mp[:, 16] >= 0).any():
@@ -71,11 +83,12 @@ class MegaPathTracer(PathTracer):
             return False, f"{film.filter_name} reconstruction filter"
         return True, ""
 
-    @staticmethod
-    def for_scene(scene: SceneData, max_depth: int = 8, rr_depth: int = 5,
-                  block: int = DEF_BLOCK,
+    @classmethod
+    def for_scene(cls, scene: SceneData, max_depth: int = 8,
+                  rr_depth: int = 5, block: int = DEF_BLOCK,
                   pblock: int = DEF_PBLOCK,
-                  sublanes: int = DEF_SUBLANES) -> "MegaPathTracer":
+                  sublanes: int = DEF_SUBLANES,
+                  medium: tuple | None = None) -> "MegaPathTracer":
         if sublanes <= 0 or sublanes % 8 != 0:
             raise ValueError(
                 f"sublanes={sublanes}: must be a positive multiple of 8 "
@@ -110,10 +123,10 @@ class MegaPathTracer(PathTracer):
         consts = (float(env[0]), float(env[1]), float(env[2]),
                   float(env_pmf), 0.0, 0.0, 0.0, 0.0, 0.0,
                   0.0, 0.0, 0.0)
-        return MegaPathTracer(
+        return cls(
             max_depth=max_depth, rr_depth=rr_depth, families=fams,
             tables=build_mega_tables(scene), meta_consts=consts,
-            block=block, pblock=pblock, sublanes=sublanes)
+            block=block, pblock=pblock, sublanes=sublanes, medium=medium)
 
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
         return self.li_stats(scene, o, d, seed, pixel_id, sample_idx)[0]
@@ -159,10 +172,47 @@ class MegaPathTracer(PathTracer):
             jnp.zeros((), jnp.int32)])
         out = run_path(self.tables, self.families, self.rr_depth,
                        self.max_depth, n_bounces, self.meta_consts, state,
-                       pix, samp, meta, block=self.block)
+                       pix, samp, meta, block=self.block,
+                       medium=self.medium)
         n_rays = (jnp.sum(out[16]) + jnp.sum(out[17])).astype(jnp.uint32)
         L = out[9:12, :n].T
         return L, n_rays
+
+
+@dataclass(frozen=True, eq=False)
+class MegaVolPathTracer(MegaPathTracer):
+    """Megakernel VolPathTracer: the global homogeneous medium (balance
+    distance sampling + HG phase, ref volpath.cpp:104-181) compiled into
+    the fused per-bounce kernel. Same estimator and RNG streams as
+    integrator/volpath.py VolPathTracer — tests assert lane parity.
+    (Ray counters count ATTEMPTED NEE shadow rays, like PathTracer;
+    VolPathTracer's li_stats counts unoccluded ones.)"""
+
+    @staticmethod
+    def supports(scene: SceneData, camera=None, film=None,
+                 allow_medium=True) -> tuple[bool, str]:
+        return MegaPathTracer.supports(scene, camera, film,
+                                       allow_medium=True)
+
+    @classmethod
+    def for_scene(cls, scene: SceneData, max_depth: int = 8,
+                  rr_depth: int = 5, block: int = DEF_BLOCK,
+                  pblock: int = DEF_PBLOCK,
+                  sublanes: int = DEF_SUBLANES,
+                  medium: tuple | None = None) -> "MegaVolPathTracer":
+        if medium is None and bool(np.asarray(scene.has_medium)):
+            assert np.asarray(scene.med_grid).size == 1, \
+                "megakernel medium branch is homogeneous-only"
+            st = np.asarray(scene.med_sigma_t)[0]
+            al = np.asarray(scene.med_albedo)[0]
+            medium = (float(st[0]), float(st[1]), float(st[2]),
+                      float(al[0]), float(al[1]), float(al[2]),
+                      float(np.asarray(scene.med_g)[0]),
+                      float(np.asarray(scene.med_bound)[0]))
+        return super().for_scene(scene, max_depth=max_depth,
+                                 rr_depth=rr_depth, block=block,
+                                 pblock=pblock, sublanes=sublanes,
+                                 medium=medium)
 
 
 def render_persistent(integ: MegaPathTracer, camera, spp: int,
@@ -226,7 +276,8 @@ def _render_persistent(integ, camera, spp, seed):
 
     out = run_persistent(integ.tables, integ.families, integ.rr_depth,
                          integ.max_depth, spp, consts, state,
-                         pix, samp0, meta, block=block, sublanes=s)
+                         pix, samp0, meta, block=block, sublanes=s,
+                         medium=integ.medium)
     # back to pixel-ordered [N_PSTATE, n_pad]
     out_flat = out.reshape(N_PSTATE, s, rr, bb).transpose(0, 2, 1, 3) \
         .reshape(N_PSTATE, n_pad)
