@@ -1707,21 +1707,25 @@ N_PSTATE = 24    # rows 0..15 as the bounce state; 16 bounce, 17 done,
                  # 18:21 L_sum, 21 iter diag, 22 trace count, 23 shadow
 
 DIM_PIXEL = 0    # sensor jitter dim (mirrors integrator/common.py)
+DIM_APERTURE = 1  # thin-lens aperture sample dim
 
 
 def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                            families: tuple, rr_depth: int, max_depth: int,
                            m_real: int, et_real: int, smooth: bool,
-                           spp: int, iter_cap: int, medium=None):
+                           spp: int, iter_cap: int, medium=None,
+                           lens=False):
     """consts layout: [0:9] scene consts (as the other kernels), then the
     in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
-    cam position, [21] tan_half, [22] aspect, [23] width, [24] height."""
+    cam position, [21] tan_half, [22] aspect, [23] width, [24] height,
+    [25] aperture radius, [26] focus distance (thin lens when `lens`,
+    ref: src/sensors/thinlens.cpp via sensor.py sample_ray)."""
 
     def kernel(woop_ref, aabb_ref, attr_ref, mat_ref, em_ref,
                em_meta_ref, pix_ref,
                samp_ref, meta_ref, consts_ref, st_in_ref, st_out_ref):
         consts = tuple(consts_ref[i] for i in range(9))
-        cam = tuple(consts_ref[9 + i] for i in range(16))
+        cam = tuple(consts_ref[9 + i] for i in range(18))
         woop_h = woop_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
             else woop_ref
         attr_h = attr_ref[:] if c_clusters <= MAX_UNROLLED_CLUSTERS \
@@ -1733,12 +1737,14 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
         rows0 = tuple(st0[i] for i in range(N_PSTATE))
 
         (r00, r01, r02, r10, r11, r12, r20, r21, r22,
-         cpx, cpy, cpz, tan_half, aspect, wpix, hpix) = cam
+         cpx, cpy, cpz, tan_half, aspect, wpix, hpix,
+         ap_radius, focus_d) = cam
 
         def cam_ray(samp_new):
             """Fresh primary ray for this lane's pixel at sample index
             samp_new (mirrors PerspectiveCamera.sample_ray + render.py
-            pixel jitter)."""
+            pixel jitter). Returns (origin xyz, direction xyz); pinhole
+            origins are the camera position."""
             j0, j1 = _rng2(seed, pixel, DIM_PIXEL, samp_new)
             pf = pixel.astype(jnp.float32)
             py_i = jnp.floor(pf / wpix)
@@ -1747,10 +1753,43 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
             ndc_y = 1.0 - (py_i + j1) / hpix * 2.0
             lx = ndc_x * tan_half
             ly = ndc_y * tan_half * aspect
-            dx = lx * r00 + ly * r01 + r02
-            dy = lx * r10 + ly * r11 + r12
-            dz = lx * r20 + ly * r21 + r22
-            return _normalize3(dx, dy, dz)
+            if not lens:
+                dx = lx * r00 + ly * r01 + r02
+                dy = lx * r10 + ly * r11 + r12
+                dz = lx * r20 + ly * r21 + r22
+                one = jnp.ones_like(dx)
+                return ((cpx * one, cpy * one, cpz * one),
+                        _normalize3(dx, dy, dz))
+            # thin lens: Shirley-Chiu concentric disk on the aperture,
+            # direction through the focus-plane point (sensor.py
+            # sample_ray thin-lens branch; warp.py concentric disk)
+            a0, a1 = _rng2(seed, pixel, DIM_APERTURE, samp_new)
+            ox_ = 2.0 * a0 - 1.0
+            oy_ = 2.0 * a1 - 1.0
+            is_zero = (ox_ == 0.0) & (oy_ == 0.0)
+            use_x = jnp.abs(ox_) > jnp.abs(oy_)
+            r_d = jnp.where(use_x, ox_, oy_)
+            ratio = jnp.where(
+                is_zero, 0.0,
+                jnp.where(use_x,
+                          oy_ / jnp.where(ox_ == 0.0, 1.0, ox_),
+                          ox_ / jnp.where(oy_ == 0.0, 1.0, oy_)))
+            qpi = jnp.float32(np.pi / 4.0)
+            phi = jnp.where(use_x, ratio * qpi,
+                            jnp.float32(np.pi / 2.0) - ratio * qpi)
+            r_d = jnp.where(is_zero, 0.0, r_d)
+            lenx = r_d * jnp.cos(phi) * ap_radius
+            leny = r_d * jnp.sin(phi) * ap_radius
+            dlx = lx * focus_d - lenx
+            dly = ly * focus_d - leny
+            dlz = focus_d
+            dx = dlx * r00 + dly * r01 + dlz * r02
+            dy = dlx * r10 + dly * r11 + dlz * r12
+            dz = dlx * r20 + dly * r21 + dlz * r22
+            o_x = cpx + lenx * r00 + leny * r01
+            o_y = cpy + lenx * r10 + leny * r11
+            o_z = cpz + lenx * r20 + leny * r21
+            return (o_x, o_y, o_z), _normalize3(dx, dy, dz)
 
         def cond(carry):
             i, rows = carry
@@ -1780,15 +1819,15 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
             # regenerate: lanes that just died and still owe samples
             regen = died & (done_new < float(spp))
             samp_next = samp0 + done_new.astype(jnp.int32)
-            ndx, ndy, ndz = cam_ray(samp_next)
+            (rox, roy, roz), (ndx, ndy, ndz) = cam_ray(samp_next)
             rf = regen.astype(jnp.float32)
             keep = 1.0 - rf
             zero = jnp.zeros_like(df)
             one = jnp.ones_like(df)
             new_rows = (
-                jnp.where(regen, cpx * one, new16[0]),
-                jnp.where(regen, cpy * one, new16[1]),
-                jnp.where(regen, cpz * one, new16[2]),
+                jnp.where(regen, rox, new16[0]),
+                jnp.where(regen, roy, new16[1]),
+                jnp.where(regen, roz, new16[2]),
                 jnp.where(regen, ndx, new16[3]),
                 jnp.where(regen, ndy, new16[4]),
                 jnp.where(regen, ndz, new16[5]),
@@ -1818,11 +1857,12 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
 @functools.partial(jax.jit,
                    static_argnames=("tables", "families", "rr_depth",
                                     "max_depth", "spp", "block",
-                                    "sublanes", "iter_cap", "medium"))
+                                    "sublanes", "iter_cap", "medium",
+                                    "lens"))
 def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
                    consts_cam, state, pixel, samp0, meta_u32,
                    block=DEF_PBLOCK, sublanes=DEF_SUBLANES, iter_cap=0,
-                   medium=None):
+                   medium=None, lens=False):
     """Persistent path-regeneration render: every lane completes exactly
     `spp` paths of its pixel.
 
@@ -1845,7 +1885,7 @@ def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
                                     tables.em_count, families, rr_depth,
                                     max_depth, tables.m_real,
                                     tables.et_real, tables.smooth,
-                                    spp, cap, medium=medium)
+                                    spp, cap, medium=medium, lens=lens)
     grid = (n // b,)
     col3 = pl.BlockSpec((N_PSTATE, s, b), lambda r: (0, 0, r),
                         memory_space=pltpu.VMEM)

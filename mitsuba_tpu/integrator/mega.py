@@ -75,10 +75,9 @@ class MegaPathTracer(PathTracer):
             (areas > 0).any() else 1
         if n_real > 32768:
             return False, f"{n_real} triangles exceed the VMEM budget"
-        if camera is not None:
-            if not isinstance(camera, PerspectiveCamera) or \
-                    getattr(camera, "aperture_radius", 0.0) > 0.0:
-                return False, "non-pinhole camera"
+        if camera is not None and not isinstance(camera,
+                                                 PerspectiveCamera):
+            return False, "non-perspective camera"
         if film is not None and film.filter_name != "box":
             return False, f"{film.filter_name} reconstruction filter"
         return True, ""
@@ -241,11 +240,14 @@ def _render_persistent(integ, camera, spp, seed):
     t = np.asarray(camera.to_world[:3, 3], np.float32)
     tan_half = float(np.tan(np.radians(camera.fov_x) / 2.0))
     aspect = h / w
+    lens = float(getattr(camera, "aperture_radius", 0.0)) > 0.0
     cam = (float(r[0, 0]), float(r[0, 1]), float(r[0, 2]),
            float(r[1, 0]), float(r[1, 1]), float(r[1, 2]),
            float(r[2, 0]), float(r[2, 1]), float(r[2, 2]),
            float(t[0]), float(t[1]), float(t[2]),
-           tan_half, float(aspect), float(w), float(h))
+           tan_half, float(aspect), float(w), float(h),
+           float(getattr(camera, "aperture_radius", 0.0)),
+           float(getattr(camera, "focus_distance", 1.0)))
     consts = tuple(integ.meta_consts[:9]) + cam
 
     # lane (grid r, sublane s, lane b) owns pixel ((r·S + s)·B + b) % n —
@@ -260,7 +262,9 @@ def _render_persistent(integ, camera, spp, seed):
     pos = jnp.stack(
         [(pix_flat % w).astype(jnp.float32) + jitter[..., 0],
          (pix_flat // w).astype(jnp.float32) + jitter[..., 1]], axis=-1)
-    o, d = camera.sample_ray(pos)
+    ap = _rng.sample_2d(seed, pix_flat.astype(jnp.uint32), 1, 0) \
+        if lens else None
+    o, d = camera.sample_ray(pos, ap)
     zeros = jnp.zeros((n_pad,))
     ones = jnp.ones((n_pad,))
     rows = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
@@ -277,7 +281,7 @@ def _render_persistent(integ, camera, spp, seed):
     out = run_persistent(integ.tables, integ.families, integ.rr_depth,
                          integ.max_depth, spp, consts, state,
                          pix, samp0, meta, block=block, sublanes=s,
-                         medium=integ.medium)
+                         medium=integ.medium, lens=lens)
     # back to pixel-ordered [N_PSTATE, n_pad]
     out_flat = out.reshape(N_PSTATE, s, rr, bb).transpose(0, 2, 1, 3) \
         .reshape(N_PSTATE, n_pad)

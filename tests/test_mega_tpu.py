@@ -381,3 +381,76 @@ def test_megavol_persistent_matches_run_path():
     assert rel < 0.01, (img_p.mean(), img_m.mean())
     per_path = int(n_rays) / (64 * 64 * 32)
     assert 2.0 <= per_path <= 16.0, per_path
+
+
+def test_mega_thinlens_persistent():
+    """Round-5: in-kernel thin-lens camera regeneration (concentric-disk
+    aperture + focus plane) vs the wavefront megakernel fed by the host
+    ray generator, plus an actual-blur check vs the pinhole."""
+    import dataclasses
+
+    from mitsuba_tpu.film.film import Film
+    from mitsuba_tpu.integrator.mega import (MegaPathTracer,
+                                             render_persistent)
+    from mitsuba_tpu.render import render
+    from mitsuba_tpu.scene.builder import compile_scene
+    from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
+
+    scene = compile_scene(cornell_box(), cluster_size=64)
+    cam0 = cornell_camera(64, 64)
+    cam = dataclasses.replace(cam0, aperture_radius=0.05,
+                              focus_distance=2.0)
+    ok, why = MegaPathTracer.supports(scene, cam,
+                                      Film(width=64, height=64))
+    assert ok, why
+    integ = MegaPathTracer.for_scene(scene, max_depth=8, block=2048)
+    img_p, _ = render_persistent(integ, cam, spp=64, seed=0)
+    img_p = np.asarray(img_p)
+    img_m = np.asarray(render(scene, cam, Film(width=64, height=64),
+                              integ, spp=64, seed=0))
+    assert np.isfinite(img_p).all()
+    rel = abs(img_p.mean() - img_m.mean()) / img_m.mean()
+    assert rel < 0.01, (img_p.mean(), img_m.mean())
+    img_pin, _ = render_persistent(integ, cam0, spp=64, seed=0)
+    assert np.abs(np.asarray(img_pin) - img_p).mean() > 1e-3
+
+
+def test_megavol_point_light_matches_volpath():
+    """Fog + point light: delta-emitter NEE with medium transmittance
+    through the in-kernel chain vs the XLA VolPathTracer."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaVolPathTracer
+    from mitsuba_tpu.integrator.volpath import VolPathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import (Medium, PointLight, SceneDesc,
+                                           compile_scene)
+
+    d = SceneDesc()
+    floor = d.add_material(kind="diffuse", albedo=(0.6, 0.55, 0.5))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    d.add_shape(shapes.sphere(16, 32), material=floor)
+    d.point_lights.append(PointLight(position=[2.0, 3.0, 1.0],
+                                     intensity=[40.0, 38.0, 35.0]))
+    d.medium = Medium(sigma_t=(0.25, 0.3, 0.35), albedo=(0.9, 0.85, 0.8),
+                      g=0.1)
+    scene = compile_scene(d, cluster_size=64)
+    n = 4096
+    rs = np.random.RandomState(7)
+    o = jnp.asarray(np.tile([0.0, 1.0, 5.0], (n, 1)), jnp.float32)
+    dirs = rs.randn(n, 3) * [0.5, 0.4, 0.25] + [0, -0.1, -1.0]
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dv = jnp.asarray(dirs, jnp.float32)
+    px = jnp.arange(n, dtype=jnp.uint32)
+    ref = VolPathTracer(max_depth=6,
+                        cluster_size=64).specialized_for(scene)
+    mega = MegaVolPathTracer.for_scene(scene, max_depth=6)
+    L_ref = np.asarray(jax.jit(
+        lambda: ref.li(scene, o, dv, jnp.uint32(3), px, 0))())
+    L_m = np.asarray(jax.jit(
+        lambda: mega.li(scene, o, dv, jnp.uint32(3), px, 0))())
+    _assert_close(L_ref, L_m)
