@@ -92,10 +92,16 @@ DIMS_PER_BOUNCE = 8
 DIM_NEE_SEL, DIM_NEE_POS, DIM_BSDF_U2, DIM_BSDF_U1, DIM_RR = 0, 1, 2, 3, 4
 DIM_MEDIUM, DIM_PHASE = 5, 6
 
-N_ATTR = 24           # slim per-triangle attrs: ng xyz (0:3), mat_id (3),
+N_ATTR = 25           # slim per-triangle attrs: ng xyz (0:3), mat_id (3),
                       # em_id (4), vn0 xyz (5:8), vn1-vn0 (8:11),
                       # vn2-vn0 (11:14), emitter radiance rgb (14:17),
-                      # emitter area (17), emitter pmf (18), pad (19:24)
+                      # emitter area (17), emitter pmf (18), uv0 (19:21),
+                      # uv1-uv0 (21:23), uv2-uv0 (23:25)
+
+# extra SMEM material rows appended after the 24 mat_params columns:
+# procedural-texture meta for the in-kernel analytic evaluation
+TEXROW = 24           # 24 kind (-1 none, 0 checker, 1 grid), 25:28 c0,
+                      # 28:31 c1, 31 res, 32 tiles, 33 line_width
 
 ENV_DIST = 1e30       # env "distance" sentinel (emitter.py ENV_DIST)
 
@@ -241,10 +247,11 @@ class MegaTables:
     m_real: int              # actual material rows (select-chain length)
     et_real: int             # actual emissive-triangle rows
     smooth: bool = True      # any vn ≠ ng? False skips barycentric work
+    textured: bool = False   # any procedural (checker/grid) albedo?
 
 
-def build_mega_tables(scene: SceneData, tc: int | None = None
-                      ) -> MegaTables:
+def build_mega_tables(scene: SceneData, tc: int | None = None,
+                      tex_procs: dict | None = None) -> MegaTables:
     attr = np.asarray(scene.tri_attr)
     # Repack Woop transforms at an adaptive cluster size: small scenes
     # shrink tc to the real triangle count (rounded to the 8-sublane
@@ -283,6 +290,9 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
     attr_p[:n_a, 5:8] = attr[:n_a, 3:6]                       # vn0
     attr_p[:n_a, 8:11] = attr[:n_a, 6:9] - attr[:n_a, 3:6]    # vn1-vn0
     attr_p[:n_a, 11:14] = attr[:n_a, 9:12] - attr[:n_a, 3:6]  # vn2-vn0
+    attr_p[:n_a, 19:21] = attr[:n_a, 12:14]                   # uv0
+    attr_p[:n_a, 21:23] = attr[:n_a, 14:16] - attr[:n_a, 12:14]
+    attr_p[:n_a, 23:25] = attr[:n_a, 16:18] - attr[:n_a, 12:14]
     attr_p[n_a:, 4] = -1.0    # padding tris: em_id = -1
     # per-tri owning-emitter data for the hit-side MIS weight
     tri_em = attr[:n_a, 19].astype(int)
@@ -306,8 +316,27 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
     mat = np.asarray(scene.mat_params)
     m_real = mat.shape[0]
     m_pad = max(8, -(-m_real // 8) * 8)
-    mat_p = np.zeros((mat.shape[1], m_pad), np.float32)
-    mat_p[:, :m_real] = mat.T
+    mat_p = np.zeros((TEXROW + 10, m_pad), np.float32)
+    mat_p[:mat.shape[1], :m_real] = mat.T
+    # procedural-texture meta rows (TEXROW..): analytic checker/grid
+    # parameters per material whose albedo slot (col 13) has recorded
+    # provenance — the kernel evaluates these bilinearly, in exact
+    # parity with the rasterized bitmap the XLA path samples
+    mat_p[TEXROW, :] = -1.0
+    textured = False
+    if tex_procs:
+        for mi in range(m_real):
+            slot = int(mat[mi, 13])
+            pr = tex_procs.get(slot) if slot >= 0 else None
+            if pr is None:
+                continue
+            mat_p[TEXROW, mi] = {"checker": 0.0, "grid": 1.0}[pr[0]]
+            mat_p[TEXROW + 1:TEXROW + 4, mi] = pr[1]
+            mat_p[TEXROW + 4:TEXROW + 7, mi] = pr[2]
+            mat_p[TEXROW + 7, mi] = float(pr[3])
+            mat_p[TEXROW + 8, mi] = float(pr[4])
+            mat_p[TEXROW + 9, mi] = float(pr[5]) if len(pr) > 5 else 0.0
+            textured = True
 
     # emissive-triangle rows + per-row emitter metadata
     em_tris = np.asarray(scene.em_tris)
@@ -365,7 +394,8 @@ def build_mega_tables(scene: SceneData, tc: int | None = None
         tc=tc,
         m_real=m_real,
         et_real=max(et, 1),
-        smooth=any_smooth)
+        smooth=any_smooth,
+        textured=textured)
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +573,7 @@ def _trace_inline(woop_ref, tc, c_clusters, ox, oy, oz, dx, dy, dz, mint,
 def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
                  m_real, et_real, n_em, smooth, woop_ref, aabb_ref,
                  attr_ref, mat_sm, em_sm, em_meta, consts, pixel, samp,
-                 seed, bounce, rows, medium=None):
+                 seed, bounce, rows, medium=None, textured=False):
     """One path-tracer bounce over [S, B] shading blocks.
 
     rows: tuple of 16 [S, B] f32 blocks (o xyz, d xyz, throughput rgb,
@@ -572,20 +602,21 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     scale = 1.0 + jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
                               jnp.abs(oz))
     mint = 1e-4 * scale
+    uvs = smooth or textured
     t_rows, a_rows, u_rows, v_rows = [], [], [], []
     for s in range(s_blocks):
         t_s, attr_s, u_s, v_s = _trace_inline(
             woop_ref, tc, c_clusters,
             ox[s:s + 1], oy[s:s + 1], oz[s:s + 1],
             dx[s:s + 1], dy[s:s + 1], dz[s:s + 1],
-            mint[s:s + 1], None, attr_ref, need_uv=smooth,
+            mint[s:s + 1], None, attr_ref, need_uv=uvs,
             aabb_ref=aabb_ref)
         t_rows.append(t_s)
         a_rows.append(attr_s)
         u_rows.append(u_s)
         v_rows.append(v_s)
     t_best = jnp.concatenate(t_rows, axis=0)                   # [S, B]
-    if smooth:
+    if uvs:
         u_hit = jnp.concatenate(u_rows, axis=0)
         v_hit = jnp.concatenate(v_rows, axis=0)
     gather = lambda r: jnp.concatenate(
@@ -649,6 +680,67 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
         return p
 
     mtype = mat_param(12)     # family code row (MAT_DIFFUSE, ...)
+
+    # ---- procedural albedo textures (checker/grid) --------------------
+    # Analytic BILINEAR sample of the ideal checkerboard/grid — exact
+    # parity with texture.py eval_texture_lod level 0 over the
+    # rasterized bitmap (texel-center -0.5 offset, v-flip, REPEAT wrap,
+    # then per-corner cell parity / line test instead of a texel fetch).
+    if textured:
+        uv_u = gather(19) + u_hit * gather(21) + v_hit * gather(23)
+        uv_v = gather(20) + u_hit * gather(22) + v_hit * gather(24)
+        tknd = mat_param(TEXROW)
+        tres = jnp.maximum(mat_param(TEXROW + 7), 1.0)
+        ttil = jnp.maximum(mat_param(TEXROW + 8), 1.0)
+        tlw = mat_param(TEXROW + 9)
+        fx = uv_u * tres - 0.5
+        fy = (1.0 - uv_v) * tres - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx = fx - x0
+        ty = fy - y0
+        wrap = lambda x: x - jnp.floor(x / tres) * tres
+        xw0, xw1 = wrap(x0), wrap(x0 + 1.0)
+        yw0, yw1 = wrap(y0), wrap(y0 + 1.0)
+        is_grid = tknd == 1.0
+
+        def c0_weight(xw, yw):
+            # checker: cell parity 0 → color0 (checkerboard.cpp layout)
+            cxy = jnp.floor(xw * ttil / tres) + jnp.floor(yw * ttil
+                                                          / tres)
+            chk = 1.0 - (cxy - 2.0 * jnp.floor(cxy * 0.5))
+            # grid: on-line texels → color0 (gridtexture.cpp)
+            gx = jnp.abs((xw + 0.5) / tres * ttil
+                         - jnp.round((xw + 0.5) / tres * ttil))
+            gy = jnp.abs((yw + 0.5) / tres * ttil
+                         - jnp.round((yw + 0.5) / tres * ttil))
+            grd = ((gx < tlw * ttil) | (gy < tlw * ttil)) \
+                .astype(jnp.float32)
+            return jnp.where(is_grid, grd, chk)
+
+        s0w = (c0_weight(xw0, yw0) * (1.0 - tx) * (1.0 - ty)
+               + c0_weight(xw1, yw0) * tx * (1.0 - ty)
+               + c0_weight(xw0, yw1) * (1.0 - tx) * ty
+               + c0_weight(xw1, yw1) * tx * ty)
+        has_tex = tknd >= 0.0
+
+        def tex_albedo(k):
+            c0 = mat_param(TEXROW + 1 + k)
+            c1 = mat_param(TEXROW + 4 + k)
+            return jnp.where(has_tex, c0 * s0w + c1 * (1.0 - s0w),
+                             mat_param(k))
+
+        alb_r, alb_g, alb_b = tex_albedo(0), tex_albedo(1), tex_albedo(2)
+        _base_mat_param = mat_param
+
+        def mat_param(j, _b=_base_mat_param):
+            if j == 0:
+                return alb_r
+            if j == 1:
+                return alb_g
+            if j == 2:
+                return alb_b
+            return _b(j)
 
     # ---- emission on hit + env on escape ------------------------------
     cos_surf = -(dx * ngx + dy * ngy + dz * ngz)
@@ -980,7 +1072,7 @@ def _state_to_rows(st):
 def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
                        families: tuple, rr_depth: int, max_depth: int,
                        m_real: int, et_real: int, smooth: bool,
-                       medium=None):
+                       medium=None, textured=False):
     """Single-bounce kernel (one pallas_call per bounce; kept for
     incremental/debug use — run_path/run_persistent are the fast paths)."""
 
@@ -997,7 +1089,8 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
             et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
             mat_ref, em_ref, em_meta_ref, consts, pix_ref[:],
             samp_ref[:], meta_ref[0], meta_ref[2],
-            _state_to_rows(st_in_ref[:]), medium=medium)
+            _state_to_rows(st_in_ref[:]), medium=medium,
+            textured=textured)
         st_out_ref[:] = jnp.concatenate(list(new_rows) + [s_tr, s_sh],
                                         axis=0)
 
@@ -1007,7 +1100,7 @@ def make_bounce_kernel(tc: int, c_clusters: int, em_count: int,
 def make_path_kernel(tc: int, c_clusters: int, em_count: int,
                      families: tuple, rr_depth: int, max_depth: int,
                      m_real: int, et_real: int, smooth: bool,
-                     n_bounces: int, medium=None):
+                     n_bounces: int, medium=None, textured=False):
     """Whole-path megakernel: the ENTIRE bounce loop runs inside one Pallas
     program. Path state lives in VMEM/vector registers for all bounces —
     zero inter-bounce HBM traffic, one dispatch per render pass — and the
@@ -1039,7 +1132,8 @@ def make_path_kernel(tc: int, c_clusters: int, em_count: int,
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
                 et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
                 mat_ref, em_ref, em_meta_ref, consts, pixel, samp,
-                seed, i, _state_to_rows(st), medium=medium)
+                seed, i, _state_to_rows(st), medium=medium,
+                textured=textured)
             return i + 1, jnp.concatenate(new_rows, axis=0), s0 + t0, \
                 s1 + t1
 
@@ -1086,7 +1180,8 @@ def run_bounce(tables: MegaTables, families, rr_depth, max_depth,
     kernel = make_bounce_kernel(tables.tc, c_clusters, tables.em_count,
                                 families, rr_depth, max_depth,
                                 tables.m_real, tables.et_real,
-                                tables.smooth, medium=medium)
+                                tables.smooth, medium=medium,
+                                textured=tables.textured)
     grid = (n // block,)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
@@ -1126,7 +1221,8 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
     kernel = make_path_kernel(tables.tc, c_clusters, tables.em_count,
                               families, rr_depth, max_depth,
                               tables.m_real, tables.et_real,
-                              tables.smooth, n_bounces, medium=medium)
+                              tables.smooth, n_bounces, medium=medium,
+                              textured=tables.textured)
     grid = (n // block,)
     col = lambda rows: pl.BlockSpec((rows, block), lambda r: (0, r),
                                     memory_space=pltpu.VMEM)
@@ -1714,7 +1810,7 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                            families: tuple, rr_depth: int, max_depth: int,
                            m_real: int, et_real: int, smooth: bool,
                            spp: int, iter_cap: int, medium=None,
-                           lens=False):
+                           lens=False, textured=False):
     """consts layout: [0:9] scene consts (as the other kernels), then the
     in-kernel camera: [9:18] rot rows r00..r22 (camera→world), [18:21]
     cam position, [21] tan_half, [22] aspect, [23] width, [24] height,
@@ -1804,7 +1900,8 @@ def make_persistent_kernel(tc: int, c_clusters: int, em_count: int,
                 tc, c_clusters, families, rr_depth, max_depth, m_real,
                 et_real, em_count, smooth, woop_h, aabb_ref, attr_h,
                 mat_ref, em_ref, em_meta_ref, consts, pixel, samp,
-                seed, bounce, rows[:16], medium=medium)
+                seed, bounce, rows[:16], medium=medium,
+                textured=textured)
             was_active = rows[12] > 0.5
             now_active = new16[12] > 0.5
             died = was_active & ~now_active
@@ -1885,7 +1982,8 @@ def run_persistent(tables: MegaTables, families, rr_depth, max_depth, spp,
                                     tables.em_count, families, rr_depth,
                                     max_depth, tables.m_real,
                                     tables.et_real, tables.smooth,
-                                    spp, cap, medium=medium, lens=lens)
+                                    spp, cap, medium=medium, lens=lens,
+                                    textured=tables.textured)
     grid = (n // b,)
     col3 = pl.BlockSpec((N_PSTATE, s, b), lambda r: (0, 0, r),
                         memory_space=pltpu.VMEM)

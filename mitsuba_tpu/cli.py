@@ -136,11 +136,13 @@ def _render_one(args, scene_path: str) -> int:
             klass = MegaVolPathTracer \
                 if type(integ).__name__ == "VolPathTracer" \
                 else MegaPathTracer
-            ok, why = klass.supports(scene, loaded.camera, loaded.film)
+            tex_procs = getattr(loaded.desc, "tex_procs", None)
+            ok, why = klass.supports(scene, loaded.camera, loaded.film,
+                                     tex_procs=tex_procs)
             if ok:
                 mega = klass.for_scene(
                     scene, max_depth=integ.max_depth,
-                    rr_depth=integ.rr_depth)
+                    rr_depth=integ.rr_depth, tex_procs=tex_procs)
                 log.info("Using the fused persistent megakernel")
             else:
                 log.info("Megakernel fast path unavailable (%s)", why)

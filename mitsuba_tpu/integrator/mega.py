@@ -41,7 +41,7 @@ class MegaPathTracer(PathTracer):
 
     @staticmethod
     def supports(scene: SceneData, camera=None, film=None,
-                 allow_medium=False) -> tuple[bool, str]:
+                 allow_medium=False, tex_procs=None) -> tuple[bool, str]:
         """(ok, reason): can this scene/camera/film run on the fused
         megakernel with results matching PathTracer + box-filter Film?
         Used by the CLI to auto-select the fast path on TPU."""
@@ -67,7 +67,14 @@ class MegaPathTracer(PathTracer):
                      and np.any(np.asarray(scene.med_fiber))):
                 return False, "anisotropic (SGGX/fiber) medium"
         mp = np.asarray(scene.mat_params)
-        if (np.asarray(scene.mat_tex) >= 0).any() or \
+        mt = np.asarray(scene.mat_tex)
+        # albedo textures are fine when every referenced slot has
+        # procedural (checker/grid) provenance — the kernel evaluates
+        # the analytic form; roughness/normal-map textures stay on the
+        # wavefront path
+        alb_ok = np.array([s < 0 or s in (tex_procs or {})
+                           for s in mt[:, 0]])
+        if not alb_ok.all() or (mt[:, 1] >= 0).any() or \
                 (mp[:, 16] >= 0).any():
             return False, "textured material"
         areas = np.asarray(scene.tri_area)
@@ -87,7 +94,8 @@ class MegaPathTracer(PathTracer):
                   rr_depth: int = 5, block: int = DEF_BLOCK,
                   pblock: int = DEF_PBLOCK,
                   sublanes: int = DEF_SUBLANES,
-                  medium: tuple | None = None) -> "MegaPathTracer":
+                  medium: tuple | None = None,
+                  tex_procs: dict | None = None) -> "MegaPathTracer":
         if sublanes <= 0 or sublanes % 8 != 0:
             raise ValueError(
                 f"sublanes={sublanes}: must be a positive multiple of 8 "
@@ -124,7 +132,8 @@ class MegaPathTracer(PathTracer):
                   0.0, 0.0, 0.0)
         return cls(
             max_depth=max_depth, rr_depth=rr_depth, families=fams,
-            tables=build_mega_tables(scene), meta_consts=consts,
+            tables=build_mega_tables(scene, tex_procs=tex_procs),
+            meta_consts=consts,
             block=block, pblock=pblock, sublanes=sublanes, medium=medium)
 
     def li(self, scene: SceneData, o, d, seed, pixel_id, sample_idx=0):
@@ -189,16 +198,18 @@ class MegaVolPathTracer(MegaPathTracer):
 
     @staticmethod
     def supports(scene: SceneData, camera=None, film=None,
-                 allow_medium=True) -> tuple[bool, str]:
+                 allow_medium=True, tex_procs=None) -> tuple[bool, str]:
         return MegaPathTracer.supports(scene, camera, film,
-                                       allow_medium=True)
+                                       allow_medium=True,
+                                       tex_procs=tex_procs)
 
     @classmethod
     def for_scene(cls, scene: SceneData, max_depth: int = 8,
                   rr_depth: int = 5, block: int = DEF_BLOCK,
                   pblock: int = DEF_PBLOCK,
                   sublanes: int = DEF_SUBLANES,
-                  medium: tuple | None = None) -> "MegaVolPathTracer":
+                  medium: tuple | None = None,
+                  tex_procs: dict | None = None) -> "MegaVolPathTracer":
         if medium is None and bool(np.asarray(scene.has_medium)):
             assert np.asarray(scene.med_grid).size == 1, \
                 "megakernel medium branch is homogeneous-only"
@@ -211,7 +222,7 @@ class MegaVolPathTracer(MegaPathTracer):
         return super().for_scene(scene, max_depth=max_depth,
                                  rr_depth=rr_depth, block=block,
                                  pblock=pblock, sublanes=sublanes,
-                                 medium=medium)
+                                 medium=medium, tex_procs=tex_procs)
 
 
 def render_persistent(integ: MegaPathTracer, camera, spp: int,

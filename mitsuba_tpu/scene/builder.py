@@ -269,6 +269,10 @@ class SceneDesc:
     envmap: Optional[EnvmapLight] = None
     medium: Optional[Medium] = None
     textures: list = field(default_factory=list)   # numpy [H, W, 3] images
+    # texture slot → procedural provenance ("checker"/"grid", params):
+    # recorded by add_texture from texture.py ProcImage so the
+    # megakernel can compile the analytic form (accel/megakernel.py)
+    tex_procs: dict = field(default_factory=dict)
     bsdf_tables: list = field(default_factory=list)  # [n_ti,n_to,n_phi,3]
     weave_patterns: list = field(default_factory=list)  # irawan WeavePattern
 
@@ -284,9 +288,14 @@ class SceneDesc:
 
     def add_texture(self, image) -> int:
         """Register a bitmap texture; returns its id for Material
-        albedo_texture/roughness_texture slots."""
+        albedo_texture/roughness_texture slots. Procedural provenance
+        (texture.py ProcImage.proc) is kept in tex_procs."""
+        proc = getattr(image, "proc", None)
         self.textures.append(np.asarray(image, np.float32))
-        return len(self.textures) - 1
+        slot = len(self.textures) - 1
+        if proc is not None:
+            self.tex_procs[slot] = proc
+        return slot
 
     def add_shape(self, mesh, to_world=None, material=0, radiance=None,
                   sampling_weight=1.0, flip_normals=False):

@@ -109,6 +109,20 @@ def eval_texture(scene, tex_id, uv, lod=None):
     return a * (1 - frac)[..., None] + b * frac[..., None]
 
 
+class ProcImage(np.ndarray):
+    """ndarray with procedural provenance in `.proc` — lets the
+    megakernel compile the ANALYTIC form of checkerboard/grid textures
+    (accel/megakernel.py) while the XLA path keeps sampling the
+    rasterized bitmap. SceneDesc.add_texture records `.proc` per slot."""
+    proc: tuple | None = None
+
+
+def _with_proc(img: np.ndarray, proc: tuple) -> np.ndarray:
+    out = img.astype(np.float32).view(ProcImage)
+    out.proc = proc
+    return out
+
+
 def checkerboard(color0=(0.4, 0.4, 0.4), color1=(0.2, 0.2, 0.2), res=512,
                  tiles=8) -> np.ndarray:
     """Rasterized checkerboard (ref: src/textures/checkerboard.cpp)."""
@@ -117,7 +131,8 @@ def checkerboard(color0=(0.4, 0.4, 0.4), color1=(0.2, 0.2, 0.2), res=512,
     img = np.where(cell[..., None] == 0,
                    np.asarray(color0, np.float32),
                    np.asarray(color1, np.float32))
-    return img.astype(np.float32)
+    return _with_proc(img, ("checker", tuple(np.ravel(color0)),
+                            tuple(np.ravel(color1)), res, tiles))
 
 
 def grid_texture(color0=(0.2, 0.2, 0.2), color1=(0.4, 0.4, 0.4),
@@ -129,7 +144,9 @@ def grid_texture(color0=(0.2, 0.2, 0.2), color1=(0.4, 0.4, 0.4),
     on = on_x[None, :] | on_x[:, None]
     img = np.where(on[..., None], np.asarray(color0, np.float32),
                    np.asarray(color1, np.float32))
-    return img.astype(np.float32)
+    return _with_proc(img, ("grid", tuple(np.ravel(color0)),
+                            tuple(np.ravel(color1)), res, tiles,
+                            float(line_width)))
 
 
 def eval_texture_aniso(scene, tex_id, uv, duv0, duv1, max_aniso=8.0,
