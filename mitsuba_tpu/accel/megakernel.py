@@ -56,6 +56,7 @@ from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
                            EM_SPOT, MAT_CONDUCTOR, MAT_DIELECTRIC,
                            MAT_DIFFTRANS, MAT_DIFFUSE, MAT_NULL,
                            MAT_PHONG, MAT_PLASTIC, MAT_ROUGH_CONDUCTOR,
+                           MAT_ROUGH_DIELECTRIC,
                            MAT_ROUGH_DIFFUSE, MAT_THIN_DIELECTRIC,
                            MAT_WARD, SceneData)
 
@@ -67,7 +68,8 @@ from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
 MEGA_FAMILIES = frozenset(
     {MAT_DIFFUSE, MAT_CONDUCTOR, MAT_ROUGH_CONDUCTOR, MAT_DIELECTRIC,
      MAT_PLASTIC, MAT_PHONG, MAT_WARD, MAT_ROUGH_DIFFUSE,
-     MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL})
+     MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL,
+     MAT_ROUGH_DIELECTRIC})
 
 # emitter types the in-kernel NEE chain understands (mega.py validates)
 MEGA_EM_TYPES = frozenset(
@@ -1252,6 +1254,65 @@ def run_path(tables: MegaTables, families, rr_depth, max_depth, n_bounces,
 # mat_param(j) returns the [S, B] broadcast of material-parameter row j
 # selected per lane (SMEM scalar select chain).
 
+def _rd_terms(mat_param, wix, wiy, wiz, wox, woy, woz):
+    """Rough-dielectric (Walter 2007, isotropic GGX, visible-normal
+    sampling) shared eval/pdf terms for a (wi, wo) pair — mirrors
+    bsdf.py roughdielectric_eval/_pdf (ref: src/bsdfs/
+    roughdielectric.cpp). The micronormal is RE-DERIVED from (wi, wo)
+    exactly as the XLA path does, so sample-weight parity holds.
+
+    Returns (vs, refl, pdf, ok): vs = scalar f·|cosθo| before the
+    spec_r/spec_t tint, refl = reflection-side mask, pdf = solid-angle
+    pdf of the visible-normal sampler, ok = chirality/validity mask."""
+    eta = jnp.maximum(mat_param(0), 1e-3)
+    a = jnp.maximum(mat_param(9), 1e-4)
+    ci, co = wiz, woz
+    refl = ci * co > 0.0
+    eta_it_w = jnp.where(ci > 0.0, eta, 1.0 / eta)
+    mrx, mry, mrz = _normalize3(wix + wox, wiy + woy, wiz + woz)
+    mtx, mty, mtz = _normalize3(wix + eta_it_w * wox,
+                                wiy + eta_it_w * woy,
+                                wiz + eta_it_w * woz)
+    mx = jnp.where(refl, mrx, mtx)
+    my = jnp.where(refl, mry, mty)
+    mz = jnp.where(refl, mrz, mtz)
+    sgn_m = jnp.where(mz >= 0.0, 1.0, -1.0)
+    mx, my, mz = mx * sgn_m, my * sgn_m, mz * sgn_m
+    wim = wix * mx + wiy * my + wiz * mz
+    wom = wox * mx + woy * my + woz * mz
+    # fresnel_dielectric(wim, eta) — signed incidence (core/fresnel.py)
+    outs = wim >= 0.0
+    eta_itm = jnp.where(outs, eta, 1.0 / eta)
+    eta_tim = 1.0 / eta_itm
+    cia = jnp.abs(wim)
+    sin_t2 = eta_tim * eta_tim * (1.0 - cia * cia)
+    tir = sin_t2 >= 1.0
+    cts = jnp.where(tir, 0.0, jnp.sqrt(jnp.maximum(1.0 - sin_t2, 1e-12)))
+    rs_ = (cia - eta_itm * cts) / jnp.maximum(cia + eta_itm * cts, 1e-4)
+    rp_ = (eta_itm * cia - cts) / jnp.maximum(eta_itm * cia + cts, 1e-4)
+    fre = jnp.where(tir, 1.0, 0.5 * (rs_ * rs_ + rp_ * rp_))
+    d_ndf = _ggx_d(mx, my, mz, a)
+    g_both = _ggx_g1(wix, wiy, wiz, mx, my, mz, a) \
+        * _ggx_g1(wox, woy, woz, mx, my, mz, a)
+    val_r = fre * d_ndf * g_both / jnp.maximum(4.0 * jnp.abs(ci), 1e-7)
+    den_t = (wim + eta_itm * wom) ** 2
+    val_t = (1.0 - fre) * d_ndf * g_both * jnp.abs(wim * wom) \
+        / jnp.maximum(jnp.abs(ci) * den_t, 1e-7)
+    vs = jnp.where(refl, val_r, val_t)
+    # pdf_visible(wi·side, m): G1(wi_up, m)·|wi·m|·D/|cosθi|
+    sw = jnp.where(wiz >= 0.0, 1.0, -1.0)
+    g1up = _ggx_g1(wix * sw, wiy * sw, wiz * sw, mx, my, mz, a)
+    pdf_m = g1up * jnp.abs(wim) * d_ndf / jnp.maximum(jnp.abs(wiz),
+                                                      1e-12)
+    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(wom), 1e-7)
+    jac_t = jnp.abs(wom) * eta_itm * eta_itm / jnp.maximum(den_t, 1e-7)
+    pdf = pdf_m * jnp.where(refl, fre * jac_r, (1.0 - fre) * jac_t)
+    # no bool-valued select: Mosaic can't truncate i8 vectors to i1
+    chir = (refl & (wim * wom > 0.0)) | (~refl & (wim * wom < 0.0))
+    ok = (jnp.abs(ci) > 1e-7) & chir
+    return vs, refl, pdf, ok
+
+
 def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
                    wox, woy, woz):
     """f·cosθo (rgb) + solid-angle pdf for the smooth component."""
@@ -1284,6 +1345,19 @@ def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
         pdf_h = g1i * jnp.abs(wim) * d_ndf / jnp.maximum(wiz, 1e-12)
         pdf = pdf + s * pdf_h / jnp.maximum(
             4.0 * jnp.abs(wox * hx + woy * hy + woz * hz), 1e-7)
+    if MAT_ROUGH_DIELECTRIC in families:
+        # Walter rough glass: reflection + transmission lobes, two-sided
+        sel = mtype == float(MAT_ROUGH_DIELECTRIC)
+        vs, refl_rd, pdf_rd, ok_rd = _rd_terms(
+            mat_param, wix, wiy, wiz, wox, woy, woz)
+        s = (sel & ok_rd).astype(jnp.float32)
+        f_r = f_r + s * vs * jnp.where(refl_rd, mat_param(1),
+                                       mat_param(4))
+        f_g = f_g + s * vs * jnp.where(refl_rd, mat_param(2),
+                                       mat_param(5))
+        f_b = f_b + s * vs * jnp.where(refl_rd, mat_param(3),
+                                       mat_param(6))
+        pdf = pdf + s * pdf_rd
     if MAT_ROUGH_DIFFUSE in families:
         # Oren-Nayar (mirrors bsdf.py roughdiffuse_eval)
         sel = (mtype == float(MAT_ROUGH_DIFFUSE)) & valid
@@ -1740,6 +1814,86 @@ def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
         w_b = jnp.where(sel, one, w_b)
         pdf = jnp.where(sel, one, pdf)
         is_delta = is_delta | sel
+
+    if MAT_ROUGH_DIELECTRIC in families:
+        # rough glass (Walter, GGX visible normals): VNDF micronormal
+        # from the upper-hemisphere wi, Fresnel lobe pick, then weight =
+        # eval/pdf with the micronormal RE-DERIVED from (wi, wo) — the
+        # exact dance of bsdf.py roughdielectric_sample
+        sel = mtype == float(MAT_ROUGH_DIELECTRIC)
+        eta = jnp.maximum(mat_param(0), 1e-3)
+        a = jnp.maximum(mat_param(9), 1e-4)
+        sw = jnp.where(wiz >= 0.0, 1.0, -1.0)
+        ux, uy, uz = wix * sw, wiy * sw, wiz * sw
+        vx, vy, vz = _normalize3(a * ux, a * uy, uz)
+        lensq = vx * vx + vy * vy
+        inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+        big = lensq > 1e-20
+        t1x = jnp.where(big, -vy * inv_len, 1.0)
+        t1y = jnp.where(big, vx * inv_len, 0.0)
+        t1z = jnp.zeros_like(vx)
+        t2x = vy * t1z - vz * t1y
+        t2y = vz * t1x - vx * t1z
+        t2z = vx * t1y - vy * t1x
+        rr = jnp.sqrt(jnp.maximum(u0, 0.0))
+        ph = 2.0 * np.pi * u1
+        p1 = rr * jnp.cos(ph)
+        p2 = rr * jnp.sin(ph)
+        ss = 0.5 * (1.0 + vz)
+        p2 = (1.0 - ss) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) \
+            + ss * p2
+        p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+        nhx = p1 * t1x + p2 * t2x + p3 * vx
+        nhy = p1 * t1y + p2 * t2y + p3 * vy
+        nhz = p1 * t1z + p2 * t2z + p3 * vz
+        mx, my, mz = _normalize3(a * nhx, a * nhy,
+                                 jnp.maximum(nhz, 1e-6))
+        wim = wix * mx + wiy * my + wiz * mz          # signed
+        outs = wim >= 0.0
+        eta_itm = jnp.where(outs, eta, 1.0 / eta)
+        eta_tim = 1.0 / eta_itm
+        cia = jnp.abs(wim)
+        sin_t2 = eta_tim * eta_tim * (1.0 - cia * cia)
+        tir = sin_t2 >= 1.0
+        cts = jnp.where(tir, 0.0,
+                        jnp.sqrt(jnp.maximum(1.0 - sin_t2, 1e-12)))
+        rs_ = (cia - eta_itm * cts) \
+            / jnp.maximum(cia + eta_itm * cts, 1e-4)
+        rp_ = (eta_itm * cia - cts) \
+            / jnp.maximum(eta_itm * cia + cts, 1e-4)
+        fre = jnp.where(tir, 1.0, 0.5 * (rs_ * rs_ + rp_ * rp_))
+        cos_tt = jnp.where(tir, 0.0, jnp.where(outs, -cts, cts))
+        pick_r = uc < fre
+        worx = 2.0 * wim * mx - wix
+        wory = 2.0 * wim * my - wiy
+        worz = 2.0 * wim * mz - wiz
+        wtf = eta_tim * wim + cos_tt
+        wotx, woty, wotz = _normalize3(-eta_tim * wix + wtf * mx,
+                                       -eta_tim * wiy + wtf * my,
+                                       -eta_tim * wiz + wtf * mz)
+        cx = jnp.where(pick_r, worx, wotx)
+        cy = jnp.where(pick_r, wory, woty)
+        cz = jnp.where(pick_r, worz, wotz)
+        vs, refl_rd, pdf_rd, ok_rd = _rd_terms(
+            mat_param, wix, wiy, wiz, cx, cy, cz)
+        inv_pdf = 1.0 / jnp.maximum(pdf_rd, 1e-12)
+        side_ok = (pick_r & (wiz * cz > 1e-10)) \
+            | (~pick_r & (wiz * cz < -1e-10))
+        okv = ok_rd & (jnp.abs(wiz) > 1e-7) & (pdf_rd > 1e-12) & side_ok
+        s = (sel & okv).astype(jnp.float32)
+        nwx = jnp.where(sel, cx, nwx)
+        nwy = jnp.where(sel, cy, nwy)
+        nwz = jnp.where(sel, cz, nwz)
+        w_rd = vs * inv_pdf
+        w_r = jnp.where(sel, s * w_rd * jnp.where(refl_rd, mat_param(1),
+                                                  mat_param(4)), w_r)
+        w_g = jnp.where(sel, s * w_rd * jnp.where(refl_rd, mat_param(2),
+                                                  mat_param(5)), w_g)
+        w_b = jnp.where(sel, s * w_rd * jnp.where(refl_rd, mat_param(3),
+                                                  mat_param(6)), w_b)
+        pdf = jnp.where(sel, s * pdf_rd, pdf)
+        eta_event = jnp.where(sel, jnp.where(pick_r, 1.0, eta_itm),
+                              eta_event)
 
     if MAT_DIELECTRIC in families:
         # smooth glass: delta reflect/refract, two-sided (mirrors

@@ -23,7 +23,7 @@ import numpy as np
 from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
                                 MEGA_FAMILIES, MegaTables, N_STATE,
                                 build_mega_tables, run_path)
-from ..scene.scene import EM_CONSTANT, SceneData
+from ..scene.scene import EM_CONSTANT, MAT_ROUGH_DIELECTRIC, SceneData
 from .path import PathTracer
 
 
@@ -55,6 +55,13 @@ class MegaPathTracer(PathTracer):
         fams = set(int(x) for x in np.unique(np.asarray(scene.mat_type)))
         if fams - MEGA_FAMILIES:
             return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
+        if MAT_ROUGH_DIELECTRIC in fams:
+            # the in-kernel Walter branch is isotropic-GGX only
+            mpx = np.asarray(scene.mat_params)
+            rd = np.asarray(scene.mat_type) == MAT_ROUGH_DIELECTRIC
+            if (mpx[rd, 11] != 1).any() or \
+                    (mpx[rd, 9] != mpx[rd, 10]).any():
+                return False, "non-GGX/anisotropic roughdielectric"
         if bool(np.asarray(scene.has_medium)):
             if not allow_medium:
                 return False, "participating medium"

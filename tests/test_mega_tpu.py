@@ -186,7 +186,7 @@ def test_mega_rejects_unsupported_family():
     from mitsuba_tpu.scene.presets import cornell_box
 
     d = cornell_box()
-    pl = d.add_material(kind="roughdielectric", alpha=0.2)
+    pl = d.add_material(kind="hk", sigma_s=(0.5, 0.5, 0.5))
     from mitsuba_tpu.scene import shapes
     d.add_shape(shapes.sphere(4, 8), material=pl)
     scene = compile_scene(d, cluster_size=64)
@@ -517,3 +517,52 @@ def test_mega_procedural_textures_match_path():
     L_p = np.asarray(jax.jit(
         lambda: mega_plain.li(scene, o, dv, jnp.uint32(3), px, 0))())
     assert np.abs(L_m - L_p).mean() > 0.05
+
+
+def test_mega_roughdielectric_matches_path():
+    """Round-5: Walter rough glass (isotropic GGX, visible normals)
+    through the in-kernel dispatch vs the XLA wavefront."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    white = d.add_material(kind="diffuse", albedo=(0.7, 0.6, 0.5))
+    glass = d.add_material(kind="roughdielectric", int_ior=1.5,
+                           alpha=0.15, distribution="ggx")
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=white)
+    d.add_shape(shapes.sphere(24, 48), material=glass)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2] * 3),
+                material=white, radiance=(14, 13, 12))
+    scene = compile_scene(d, cluster_size=64)
+    assert MegaPathTracer.supports(scene)[0]
+    # Beckmann rough glass must NOT claim the fast path
+    d2 = SceneDesc()
+    d2.add_material(kind="roughdielectric", alpha=0.2,
+                    distribution="beckmann")
+    d2.add_shape(shapes.sphere(8, 16), material=0)
+    assert not MegaPathTracer.supports(
+        compile_scene(d2, cluster_size=64))[0]
+    n = 8192
+    rs = np.random.RandomState(9)
+    o = jnp.asarray(np.tile([0.0, 0.8, 4.5], (n, 1)), jnp.float32)
+    dirs = rs.randn(n, 3) * [0.5, 0.4, 0.25] + [0, -0.15, -1.0]
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dv = jnp.asarray(dirs, jnp.float32)
+    px = jnp.arange(n, dtype=jnp.uint32)
+    ref = PathTracer(max_depth=8, cluster_size=64).specialized_for(scene)
+    mega = MegaPathTracer.for_scene(scene, max_depth=8)
+    L_ref = np.asarray(jax.jit(
+        lambda: ref.li(scene, o, dv, jnp.uint32(3), px, 0))())
+    L_m = np.asarray(jax.jit(
+        lambda: mega.li(scene, o, dv, jnp.uint32(3), px, 0))())
+    _assert_close(L_ref, L_m)
