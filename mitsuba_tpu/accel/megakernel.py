@@ -793,6 +793,13 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     wil_x = -(dx * sx + dy * sy + dz * sz)
     wil_y = -(dx * tx_ + dy * ty_ + dz * tz_)
     wil_z = -(dx * nsx + dy * nsy + dz * nsz)
+    # twosided adapter (bsdf.py _twosided_wi; ref: src/bsdfs/
+    # twosided.cpp): flagged materials mirror back-side incidence into
+    # the upper hemisphere; local z of wi/wo(NEE) flips in, the sampled
+    # direction flips back out. fsgn = 1 everywhere else — free.
+    ts_flip = (mat_param(15) > 0.5) & (wil_z < 0.0)
+    fsgn = jnp.where(ts_flip, -1.0, 1.0)
+    wil_z = wil_z * fsgn
 
     # ---- NEE ------------------------------------------------------------
     # event point: the medium scatter point for medium lanes, else the
@@ -934,7 +941,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # BSDF eval toward light + pdf (families static)
     wol_x = ldx * sx + ldy * sy + ldz * sz
     wol_y = ldx * tx_ + ldy * ty_ + ldz * tz_
-    wol_z = ldx * nsx + ldy * nsy + ldz * nsz
+    wol_z = (ldx * nsx + ldy * nsy + ldz * nsz) * fsgn
     f_r, f_g, f_b, pdf_fwd = _bsdf_eval_pdf(
         families, mat_param, mtype, wil_x, wil_y, wil_z,
         wol_x, wol_y, wol_z)
@@ -978,7 +985,8 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     (nwx, nwy, nwz, w_r, w_g, w_b, pdf_b, is_delta, eta_ev) = \
         _bsdf_sample(families, mat_param, mtype, wil_x, wil_y, wil_z,
                      ub0, ub1, uc0)
-    # to world
+    # to world (nwz mirrored back for twosided back-side lanes)
+    nwz = nwz * fsgn
     ndx = nwx * sx + nwy * tx_ + nwz * nsx
     ndy = nwx * sy + nwy * ty_ + nwz * nsy
     ndz = nwx * sz + nwy * tz_ + nwz * nsz

@@ -566,3 +566,39 @@ def test_mega_roughdielectric_matches_path():
     L_m = np.asarray(jax.jit(
         lambda: mega.li(scene, o, dv, jnp.uint32(3), px, 0))())
     _assert_close(L_ref, L_m)
+
+
+def test_mega_twosided_matches_path():
+    """Round-5 fix: the kernel previously ignored the twosided flag
+    (param slot 15), shading back-facing lanes black where the XLA path
+    mirrors them into the upper hemisphere. A camera-facing BACK side
+    of a twosided plate must match the wavefront."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    ts = d.add_material(kind="diffuse", albedo=(0.8, 0.4, 0.3),
+                        two_sided=True)
+    one = d.add_material(kind="diffuse", albedo=(0.3, 0.4, 0.8))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 0.5, -1])
+                @ tfm.rotate([0, 1, 0], 180) @ tfm.scale([2] * 3),
+                material=ts)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([5] * 3),
+                material=one)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 1])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2] * 3),
+                material=one, radiance=(12, 12, 12))
+    scene = compile_scene(d, cluster_size=64)
+    L_ref, L_m = _li_pair(scene, [0.0, 0.8, 4.0])
+    _assert_close(L_ref, L_m)
+    # the back side must actually shade (not black): plate faces away
+    assert L_m.mean() > 0.1
