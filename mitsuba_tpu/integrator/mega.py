@@ -55,13 +55,18 @@ class MegaPathTracer(PathTracer):
         fams = set(int(x) for x in np.unique(np.asarray(scene.mat_type)))
         if fams - MEGA_FAMILIES:
             return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
-        if MAT_ROUGH_DIELECTRIC in fams:
-            # the in-kernel Walter branch is isotropic-GGX only
-            mpx = np.asarray(scene.mat_params)
-            rd = np.asarray(scene.mat_type) == MAT_ROUGH_DIELECTRIC
-            if (mpx[rd, 11] != 1).any() or \
-                    (mpx[rd, 9] != mpx[rd, 10]).any():
-                return False, "non-GGX/anisotropic roughdielectric"
+        # the in-kernel microfacet branches are isotropic-GGX only
+        # (rough conductor + rough dielectric); Beckmann/anisotropic
+        # variants stay on the wavefront
+        from ..scene.scene import MAT_ROUGH_CONDUCTOR
+        for code, nm in ((MAT_ROUGH_DIELECTRIC, "roughdielectric"),
+                         (MAT_ROUGH_CONDUCTOR, "roughconductor")):
+            if code in fams:
+                mpx = np.asarray(scene.mat_params)
+                rd = np.asarray(scene.mat_type) == code
+                if (mpx[rd, 11] != 1).any() or \
+                        (mpx[rd, 9] != mpx[rd, 10]).any():
+                    return False, f"non-GGX/anisotropic {nm}"
         if bool(np.asarray(scene.has_medium)):
             if not allow_medium:
                 return False, "participating medium"

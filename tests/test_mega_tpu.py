@@ -192,6 +192,14 @@ def test_mega_rejects_unsupported_family():
     scene = compile_scene(d, cluster_size=64)
     with pytest.raises(ValueError, match="families"):
         MegaPathTracer.for_scene(scene)
+    # isotropic-GGX-only gates (round 5): Beckmann / anisotropic
+    # microfacet variants must not claim the fast path
+    d2 = cornell_box()
+    d2.add_material(kind="roughconductor", alpha=0.2,
+                    distribution="beckmann")
+    d2.add_shape(shapes.sphere(4, 8), material=len(d2.materials) - 1)
+    ok, why = MegaPathTracer.supports(compile_scene(d2, cluster_size=64))
+    assert not ok and "roughconductor" in why
 
 
 def _li_pair(scene, cam_origin, n=4096, depth=6, seed=11):
