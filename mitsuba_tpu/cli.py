@@ -122,15 +122,15 @@ def _render_one(args, scene_path: str) -> int:
     # the wavefront throughput on small scenes; estimator and RNG
     # streams identical — tests/test_mega_tpu.py)
     mega = None
-    if (mesh is None
-            and type(integ).__name__ in ("PathTracer", "VolPathTracer")
+    if (type(integ).__name__ in ("PathTracer", "VolPathTracer")
             and loaded.sampler == "independent"
             and not getattr(integ, "hide_emitters", False)):
         import jax
         if jax.default_backend() != "cpu":
             from .integrator.mega import (MegaPathTracer,
                                           MegaVolPathTracer,
-                                          render_persistent)
+                                          render_persistent,
+                                          render_persistent_sharded)
             # volpath scenes with a global homogeneous medium compile
             # the medium branch into the same persistent kernel
             klass = MegaVolPathTracer \
@@ -156,7 +156,12 @@ def _render_one(args, scene_path: str) -> int:
     last_flush = time.time()
     while done < spp:
         this = min(chunk, spp - done)
-        if mesh is not None:
+        if mega is not None and mesh is not None:
+            img, n_rays = render_persistent_sharded(
+                mega, loaded.camera, this, args.seed + done, mesh)
+            img = np.asarray(img)
+            counter_add("Rays traced", int(n_rays))
+        elif mesh is not None:
             from .parallel.dist import render_sharded
             img = np.asarray(render_sharded(
                 scene, loaded.camera, loaded.film, integ, this,

@@ -246,16 +246,20 @@ def render_persistent(integ: MegaPathTracer, camera, spp: int,
     return _render_persistent(integ, camera, spp, jnp.uint32(seed))
 
 
-@functools.partial(jax.jit, static_argnames=("integ", "camera", "spp"))
-def _render_persistent(integ, camera, spp, seed):
+def _persistent_lanes(integ, camera, spp, seed, pix_flat):
+    """Run the persistent kernel over an arbitrary int32 pixel-id lane
+    vector (length % pblock == 0; RNG streams are keyed by pixel id, so
+    any lane→pixel assignment gives the same per-pixel estimate).
+    Returns (L sums / spp [n, 3], per-lane ray counts [n]) in the INPUT
+    lane order — the building block for both the single-chip and the
+    mesh-sharded renderers."""
     from ..accel.megakernel import N_PSTATE, run_persistent
     from ..core import rng as _rng
 
     w, h = camera.width, camera.height
-    n = w * h
     block = integ.pblock
     s = integ.sublanes
-    n_pad = -(-n // block) * block      # total lanes
+    n_pad = pix_flat.shape[0]
     bb = block // s                     # lanes per sub-block row
     rr = n_pad // block                 # grid steps
 
@@ -273,9 +277,6 @@ def _render_persistent(integ, camera, spp, seed):
            float(getattr(camera, "focus_distance", 1.0)))
     consts = tuple(integ.meta_consts[:9]) + cam
 
-    # lane (grid r, sublane s, lane b) owns pixel ((r·S + s)·B + b) % n —
-    # identity for the first n lanes, duplicates beyond
-    pix_flat = jnp.arange(n_pad, dtype=jnp.int32) % jnp.int32(n)
     to_sb = lambda x: x.reshape(rr, s, bb).transpose(1, 0, 2) \
         .reshape(s, rr * bb)
     pix = to_sb(pix_flat)
@@ -305,14 +306,58 @@ def _render_persistent(integ, camera, spp, seed):
                          integ.max_depth, spp, consts, state,
                          pix, samp0, meta, block=block, sublanes=s,
                          medium=integ.medium, lens=lens)
-    # back to pixel-ordered [N_PSTATE, n_pad]
+    # back to input lane order [N_PSTATE, n_pad]
     out_flat = out.reshape(N_PSTATE, s, rr, bb).transpose(0, 2, 1, 3) \
         .reshape(N_PSTATE, n_pad)
-    l_sum = out_flat[18:21, :n].T / spp
-    n_rays = (jnp.sum(out_flat[22]) + jnp.sum(out_flat[23])) \
-        .astype(jnp.uint32)
-    # duplicated lanes traced too — subtract their share for exact counts
-    if n_pad != n:
-        dup = out_flat[22:24, n:]
-        n_rays = n_rays - jnp.sum(dup).astype(jnp.uint32)
-    return l_sum.reshape(h, w, 3), n_rays
+    return out_flat[18:21].T / spp, out_flat[22] + out_flat[23]
+
+
+@functools.partial(jax.jit, static_argnames=("integ", "camera", "spp"))
+def _render_persistent(integ, camera, spp, seed):
+    w, h = camera.width, camera.height
+    n = w * h
+    n_pad = -(-n // integ.pblock) * integ.pblock      # total lanes
+    # lane i owns pixel i % n — identity for the first n lanes,
+    # duplicates beyond (their results are discarded)
+    pix_flat = jnp.arange(n_pad, dtype=jnp.int32) % jnp.int32(n)
+    l_sum, counts = _persistent_lanes(integ, camera, spp, seed, pix_flat)
+    n_rays = jnp.sum(counts[:n]).astype(jnp.uint32)
+    return l_sum[:n].reshape(h, w, 3), n_rays
+
+
+def render_persistent_sharded(integ: MegaPathTracer, camera, spp: int,
+                              seed, mesh):
+    """Persistent megakernel over a device mesh: lanes (pixels) sharded
+    across the 'shard' axis, the scene tables replicated as captured
+    constants — the flagship fast path under the same shard_map pattern
+    as parallel/dist.py render_sharded (multi-host-ready). In exact
+    arithmetic the per-pixel estimate is independent of mesh size (RNG
+    streams are keyed by pixel id, not lane placement); in practice
+    each compilation unit associates the camera-ray arithmetic slightly
+    differently (observed ~1e-3 in normalize() eager vs jit on this
+    backend), so compare against render_persistent statistically.
+    Returns (image [H, W, 3], n_rays)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.dist import SHARD_AXIS
+
+    w, h = camera.width, camera.height
+    n = w * h
+    n_dev = mesh.devices.size
+    chunk = integ.pblock * n_dev
+    n_pad = -(-n // chunk) * chunk
+    pix_flat = jnp.arange(n_pad, dtype=jnp.int32) % jnp.int32(n)
+    seed = jnp.uint32(seed)
+
+    # check_vma=False: the pallas_call's out_shape carries no varying-
+    # mesh-axes annotation; every output here is lane-sharded anyway
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(SHARD_AXIS),),
+             out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)), check_vma=False)
+    def go(px):
+        return _persistent_lanes(integ, camera, spp, seed, px)
+
+    l_sum, counts = go(pix_flat)
+    n_rays = jnp.sum(counts[:n]).astype(jnp.uint32)
+    return l_sum[:n].reshape(h, w, 3), n_rays

@@ -610,3 +610,27 @@ def test_mega_twosided_matches_path():
     _assert_close(L_ref, L_m)
     # the back side must actually shade (not black): plate faces away
     assert L_m.mean() > 0.1
+
+
+def test_persistent_sharded_matches_unsharded():
+    """Round-5: the persistent kernel under shard_map (flagship path on
+    a device mesh). On the 1-device mesh available here it must agree
+    with render_persistent statistically (fp association differs per
+    compilation unit; the estimator is the same)."""
+    from mitsuba_tpu.integrator.mega import (MegaPathTracer,
+                                             render_persistent,
+                                             render_persistent_sharded)
+    from mitsuba_tpu.parallel.dist import make_mesh
+    from mitsuba_tpu.scene.builder import compile_scene
+    from mitsuba_tpu.scene.presets import cornell_box, cornell_camera
+
+    scene = compile_scene(cornell_box(), cluster_size=64)
+    cam = cornell_camera(64, 64)
+    integ = MegaPathTracer.for_scene(scene, max_depth=8, pblock=2048)
+    mesh = make_mesh(jax.devices()[:1])
+    img_a, nr_a = render_persistent(integ, cam, spp=64, seed=0)
+    img_b, nr_b = render_persistent_sharded(integ, cam, 64, 0, mesh)
+    a, b = np.asarray(img_a), np.asarray(img_b)
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.01
+    assert abs(int(nr_a) - int(nr_b)) / int(nr_a) < 0.01
