@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
                            EM_SPOT, MAT_CONDUCTOR, MAT_DIELECTRIC,
-                           MAT_DIFFTRANS, MAT_DIFFUSE, MAT_NULL,
+                           MAT_DIFFTRANS, MAT_DIFFUSE, MAT_MIXTURE,
+                           MAT_NULL,
                            MAT_PHONG, MAT_PLASTIC, MAT_ROUGH_CONDUCTOR,
                            MAT_ROUGH_DIELECTRIC,
                            MAT_ROUGH_DIFFUSE, MAT_THIN_DIELECTRIC,
@@ -69,7 +70,7 @@ MEGA_FAMILIES = frozenset(
     {MAT_DIFFUSE, MAT_CONDUCTOR, MAT_ROUGH_CONDUCTOR, MAT_DIELECTRIC,
      MAT_PLASTIC, MAT_PHONG, MAT_WARD, MAT_ROUGH_DIFFUSE,
      MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL,
-     MAT_ROUGH_DIELECTRIC})
+     MAT_ROUGH_DIELECTRIC, MAT_MIXTURE})
 
 # emitter types the in-kernel NEE chain understands (mega.py validates)
 MEGA_EM_TYPES = frozenset(
@@ -675,12 +676,15 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # ---- material row via SMEM-scalar select chain --------------------
     # (replaces the one-hot MXU matmul: with state on [S, B] blocks the
     # matmul would need a layout round-trip; M is small by construction)
-    def mat_param(j):
-        p = jnp.full_like(mat_id, mat_sm[j, 0])
-        for m in range(1, m_real):
-            p = jnp.where(mat_id == float(m), mat_sm[j, m], p)
-        return p
+    def make_chain(ids):
+        def param(j):
+            p = jnp.full_like(ids, mat_sm[j, 0])
+            for m in range(1, m_real):
+                p = jnp.where(ids == float(m), mat_sm[j, m], p)
+            return p
+        return param
 
+    mat_param = make_chain(mat_id)
     mtype = mat_param(12)     # family code row (MAT_DIFFUSE, ...)
 
     # ---- procedural albedo textures (checker/grid) --------------------
@@ -743,6 +747,24 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
             if j == 2:
                 return alb_b
             return _b(j)
+
+    # ---- composite (mixture/blend/mask) child resolution --------------
+    # children are ordinary material rows: per-lane child ids from the
+    # parent's slots 18/19 key fresh SMEM select chains (resolve_material
+    # child(slot) semantics; leaf lanes alias their own row so the A
+    # chain IS the leaf dispatch)
+    if MAT_MIXTURE in families:
+        is_mix = mtype == float(MAT_MIXTURE)
+        ida = jnp.where(is_mix, mat_param(18), mat_id)
+        idb = jnp.where(is_mix, mat_param(19), mat_id)
+        param_a = make_chain(ida)
+        param_b = make_chain(idb)
+        mtype_a = param_a(12)
+        mtype_b = param_b(12)
+        w_mix = jnp.where(is_mix, mat_param(20), 1.0)
+    else:
+        is_mix = None
+        param_a, mtype_a = mat_param, mtype
 
     # ---- emission on hit + env on escape ------------------------------
     cos_surf = -(dx * ngx + dy * ngy + dz * ngz)
@@ -943,8 +965,19 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     wol_y = ldx * tx_ + ldy * ty_ + ldz * tz_
     wol_z = (ldx * nsx + ldy * nsy + ldz * nsz) * fsgn
     f_r, f_g, f_b, pdf_fwd = _bsdf_eval_pdf(
-        families, mat_param, mtype, wil_x, wil_y, wil_z,
+        families, param_a, mtype_a, wil_x, wil_y, wil_z,
         wol_x, wol_y, wol_z)
+    if MAT_MIXTURE in families:
+        # mixture NEE: f = w·f_A + (1−w)·f_B (eval_bsdf_ex)
+        fb_r, fb_g, fb_b, pdf_fb = _bsdf_eval_pdf(
+            families, param_b, mtype_b, wil_x, wil_y, wil_z,
+            wol_x, wol_y, wol_z)
+        one_w = 1.0 - w_mix
+        f_r = jnp.where(is_mix, w_mix * f_r + one_w * fb_r, f_r)
+        f_g = jnp.where(is_mix, w_mix * f_g + one_w * fb_g, f_g)
+        f_b = jnp.where(is_mix, w_mix * f_b + one_w * fb_b, f_b)
+        pdf_fwd = jnp.where(is_mix, w_mix * pdf_fwd + one_w * pdf_fb,
+                            pdf_fwd)
     # medium lanes: HG phase value replaces the BSDF toward the light
     # (exact importance sampling → counter pdf = value; volpath.py
     # f_phase/pdf_phase_nee)
@@ -982,9 +1015,66 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # ---- BSDF sample ----------------------------------------------------
     ub0, ub1 = _rng2(seed, pixel, dim_base + DIM_BSDF_U2, samp)
     uc0, _ = _rng2(seed, pixel, dim_base + DIM_BSDF_U1, samp)
-    (nwx, nwy, nwz, w_r, w_g, w_b, pdf_b, is_delta, eta_ev) = \
-        _bsdf_sample(families, mat_param, mtype, wil_x, wil_y, wil_z,
-                     ub0, ub1, uc0)
+    if MAT_MIXTURE not in families:
+        (nwx, nwy, nwz, w_r, w_g, w_b, pdf_b, is_delta, eta_ev) = \
+            _bsdf_sample(families, param_a, mtype_a, wil_x, wil_y, wil_z,
+                         ub0, ub1, uc0)
+    else:
+        # mixture sampling (sample_bsdf_ex / mixturebsdf.cpp
+        # sampleReuse): pick a child ∝ w from the component uniform,
+        # remap it into the child's own stream, then weight the smooth
+        # case by the FULL mixture f/pdf (MIS-correct) and the delta
+        # case by the picked child's weight. Leaf lanes ride the A
+        # dispatch with the unmapped uniform.
+        uc_a = jnp.where(
+            is_mix,
+            jnp.clip(uc0 / jnp.maximum(w_mix, 1e-6), 0.0, 1.0 - 1e-6),
+            uc0)
+        uc_b = jnp.clip((uc0 - w_mix) / jnp.maximum(1.0 - w_mix, 1e-6),
+                        0.0, 1.0 - 1e-6)
+        (ax, ay, az, wa_r, wa_g, wa_b, pdf_a, d_a, eta_a) = \
+            _bsdf_sample(families, param_a, mtype_a, wil_x, wil_y,
+                         wil_z, ub0, ub1, uc_a)
+        (bx, by, bz, wb_r, wb_g, wb_b, pdf_bb, d_b, eta_b) = \
+            _bsdf_sample(families, param_b, mtype_b, wil_x, wil_y,
+                         wil_z, ub0, ub1, uc_b)
+        pick_a = uc0 < w_mix
+        mo_x = jnp.where(pick_a, ax, bx)
+        mo_y = jnp.where(pick_a, ay, by)
+        mo_z = jnp.where(pick_a, az, bz)
+        d_m = (pick_a & d_a) | (~pick_a & d_b)
+        eta_m = jnp.where(pick_a, eta_a, eta_b)
+        ea_r, ea_g, ea_b, pa_m = _bsdf_eval_pdf(
+            families, param_a, mtype_a, wil_x, wil_y, wil_z,
+            mo_x, mo_y, mo_z)
+        eb_r, eb_g, eb_b, pb_m = _bsdf_eval_pdf(
+            families, param_b, mtype_b, wil_x, wil_y, wil_z,
+            mo_x, mo_y, mo_z)
+        one_w = 1.0 - w_mix
+        fm_r = w_mix * ea_r + one_w * eb_r
+        fm_g = w_mix * ea_g + one_w * eb_g
+        fm_b = w_mix * ea_b + one_w * eb_b
+        pdf_mix = w_mix * pa_m + one_w * pb_m
+        inv_pm = jnp.where(pdf_mix > 1e-12,
+                           1.0 / jnp.maximum(pdf_mix, 1e-12), 0.0)
+        w_pick = jnp.where(pick_a, w_mix, one_w)
+        pdf_delta = w_pick * jnp.where(pick_a, pdf_a, pdf_bb)
+        wd_r = jnp.where(pick_a, wa_r, wb_r)
+        wd_g = jnp.where(pick_a, wa_g, wb_g)
+        wd_b = jnp.where(pick_a, wa_b, wb_b)
+        nwx = jnp.where(is_mix, mo_x, ax)
+        nwy = jnp.where(is_mix, mo_y, ay)
+        nwz = jnp.where(is_mix, mo_z, az)
+        w_r = jnp.where(is_mix, jnp.where(d_m, wd_r, fm_r * inv_pm),
+                        wa_r)
+        w_g = jnp.where(is_mix, jnp.where(d_m, wd_g, fm_g * inv_pm),
+                        wa_g)
+        w_b = jnp.where(is_mix, jnp.where(d_m, wd_b, fm_b * inv_pm),
+                        wa_b)
+        pdf_b = jnp.where(is_mix, jnp.where(d_m, pdf_delta, pdf_mix),
+                          pdf_a)
+        is_delta = (is_mix & d_m) | (~is_mix & d_a)
+        eta_ev = jnp.where(is_mix, eta_m, eta_a)
     # to world (nwz mirrored back for twosided back-side lanes)
     nwz = nwz * fsgn
     ndx = nwx * sx + nwy * tx_ + nwz * nsx

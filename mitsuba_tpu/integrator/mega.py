@@ -23,7 +23,8 @@ import numpy as np
 from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
                                 MEGA_FAMILIES, MegaTables, N_STATE,
                                 build_mega_tables, run_path)
-from ..scene.scene import EM_CONSTANT, MAT_ROUGH_DIELECTRIC, SceneData
+from ..scene.scene import (EM_CONSTANT, MAT_MIXTURE, MAT_ROUGH_DIELECTRIC,
+                           SceneData)
 from .path import PathTracer
 
 
@@ -55,6 +56,28 @@ class MegaPathTracer(PathTracer):
         fams = set(int(x) for x in np.unique(np.asarray(scene.mat_type)))
         if fams - MEGA_FAMILIES:
             return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
+        if MAT_MIXTURE in fams:
+            # in-kernel mixture/blend/mask: one composite level, leaf
+            # children only, no weight textures, no child twosided, no
+            # textures anywhere (the child chains bypass the texture
+            # wrapper)
+            mpx = np.asarray(scene.mat_params)
+            mtv = np.asarray(scene.mat_type)
+            mix = mtv == MAT_MIXTURE
+            if (np.asarray(scene.mat_tex) >= 0).any():
+                return False, "mixture + textures"
+            if (mpx[mix, 21] >= 0).any():
+                return False, "textured mixture weight"
+            ca = mpx[mix, 18].astype(int)
+            cb = mpx[mix, 19].astype(int)
+            kids = np.concatenate([ca, cb])
+            if (kids < 0).any() or (kids >= mtv.shape[0]).any():
+                return False, "mixture child out of range"
+            kt = set(int(t) for t in mtv[kids])
+            if kt - (MEGA_FAMILIES - {MAT_MIXTURE}):
+                return False, "nested/unsupported mixture children"
+            if (mpx[kids, 15] > 0.5).any():
+                return False, "twosided mixture child"
         # the in-kernel microfacet branches are isotropic-GGX only
         # (rough conductor + rough dielectric); Beckmann/anisotropic
         # variants stay on the wavefront

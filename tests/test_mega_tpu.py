@@ -634,3 +634,46 @@ def test_persistent_sharded_matches_unsharded():
     assert np.isfinite(b).all()
     assert abs(a.mean() - b.mean()) / a.mean() < 0.01
     assert abs(int(nr_a) - int(nr_b)) / int(nr_a) < 0.01
+
+
+def test_mega_mixture_mask_match_path():
+    """Round-5: composite mixture/blend/mask families through the
+    in-kernel child select chains — diffuse+GGX mixture, a mask
+    (null-child pass-through delta), and a glass+diffuse mixture with a
+    delta child, vs the XLA wavefront."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    dif = d.add_material(kind="diffuse", albedo=(0.7, 0.3, 0.2))
+    ggx = d.add_material(kind="roughconductor", alpha=0.2)
+    mix = d.add_material(kind="mixturebsdf", child_a=dif, child_b=ggx,
+                         weight=0.6)
+    msk = d.add_material(kind="mask", child_a=dif, weight=0.4)
+    glass = d.add_material(kind="dielectric", int_ior=1.5)
+    mixd = d.add_material(kind="mixturebsdf", child_a=glass,
+                          child_b=dif, weight=0.5)
+    floor = d.add_material(kind="diffuse", albedo=(0.5, 0.5, 0.55))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([-1.6, 0, 0]), material=mix)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 0.2, 0]), material=msk)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([1.8, 0, 0]), material=mixd)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2] * 3),
+                material=floor, radiance=(13, 12, 11))
+    scene = compile_scene(d, cluster_size=64)
+    assert MegaPathTracer.supports(scene)[0]
+    L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
+    _assert_close(L_ref, L_m)
