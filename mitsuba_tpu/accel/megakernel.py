@@ -53,7 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
-                           EM_SPOT, MAT_CONDUCTOR, MAT_DIELECTRIC,
+                           EM_SPOT, MAT_COATING, MAT_CONDUCTOR,
+                           MAT_DIELECTRIC,
                            MAT_DIFFTRANS, MAT_DIFFUSE, MAT_MIXTURE,
                            MAT_NULL,
                            MAT_PHONG, MAT_PLASTIC, MAT_ROUGH_CONDUCTOR,
@@ -70,7 +71,7 @@ MEGA_FAMILIES = frozenset(
     {MAT_DIFFUSE, MAT_CONDUCTOR, MAT_ROUGH_CONDUCTOR, MAT_DIELECTRIC,
      MAT_PLASTIC, MAT_PHONG, MAT_WARD, MAT_ROUGH_DIFFUSE,
      MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL,
-     MAT_ROUGH_DIELECTRIC, MAT_MIXTURE})
+     MAT_ROUGH_DIELECTRIC, MAT_MIXTURE, MAT_COATING})
 
 # emitter types the in-kernel NEE chain understands (mega.py validates)
 MEGA_EM_TYPES = frozenset(
@@ -753,17 +754,25 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # parent's slots 18/19 key fresh SMEM select chains (resolve_material
     # child(slot) semantics; leaf lanes alias their own row so the A
     # chain IS the leaf dispatch)
-    if MAT_MIXTURE in families:
-        is_mix = mtype == float(MAT_MIXTURE)
-        ida = jnp.where(is_mix, mat_param(18), mat_id)
-        idb = jnp.where(is_mix, mat_param(19), mat_id)
+    has_mix = MAT_MIXTURE in families
+    has_coat = MAT_COATING in families
+    if has_mix or has_coat:
+        is_mix = (mtype == float(MAT_MIXTURE)) if has_mix else None
+        is_coat = (mtype == float(MAT_COATING)) if has_coat else None
+        if has_mix and has_coat:
+            is_comp = is_mix | is_coat
+        else:
+            is_comp = is_mix if has_mix else is_coat
+        ida = jnp.where(is_comp, mat_param(18), mat_id)
         param_a = make_chain(ida)
-        param_b = make_chain(idb)
         mtype_a = param_a(12)
-        mtype_b = param_b(12)
-        w_mix = jnp.where(is_mix, mat_param(20), 1.0)
+        if has_mix:
+            idb = jnp.where(is_mix, mat_param(19), mat_id)
+            param_b = make_chain(idb)
+            mtype_b = param_b(12)
+            w_mix = jnp.where(is_mix, mat_param(20), 1.0)
     else:
-        is_mix = None
+        is_mix = is_coat = None
         param_a, mtype_a = mat_param, mtype
 
     # ---- emission on hit + env on escape ------------------------------
@@ -978,6 +987,44 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
         f_b = jnp.where(is_mix, w_mix * f_b + one_w * fb_b, f_b)
         pdf_fwd = jnp.where(is_mix, w_mix * pdf_fwd + one_w * pdf_fb,
                             pdf_fwd)
+    if MAT_COATING in families:
+        # smooth coating NEE (bsdf.py _coating_eval/_coating_pdf; ref:
+        # src/bsdfs/coating.cpp): bend wi/wo into the coat (sinθ'=
+        # sinθ/η), evaluate the nested child there, apply absorption
+        # e^{−σa·t·path}, both interface transmittances and the dω'/dω
+        # Jacobian with the 1/η² radiance compression
+        c_eta = jnp.maximum(mat_param(0), 1.0 + 1e-4)
+        inv_ce = 1.0 / c_eta
+        fi_c = _fresnel_diel_f(wil_z, c_eta)
+        fo_c = _fresnel_diel_f(wol_z, c_eta)
+
+        def coat_in(vx, vy, vz):
+            x, y = vx * inv_ce, vy * inv_ce
+            z = jnp.sqrt(jnp.maximum(1.0 - x * x - y * y, 0.0)) \
+                * jnp.sign(vz)
+            return x, y, z
+
+        ci_x, ci_y, ci_z = coat_in(wil_x, wil_y, wil_z)
+        co_x, co_y, co_z = coat_in(wol_x, wol_y, wol_z)
+        fc_r, fc_g, fc_b, pdfc = _bsdf_eval_pdf(
+            families, param_a, mtype_a, ci_x, ci_y, ci_z,
+            co_x, co_y, co_z)
+        cpath = 1.0 / jnp.maximum(jnp.abs(ci_z), 1e-4) \
+            + 1.0 / jnp.maximum(jnp.abs(co_z), 1e-4)
+        ca_r = jnp.exp(-mat_param(1) * cpath)
+        ca_g = jnp.exp(-mat_param(2) * cpath)
+        ca_b = jnp.exp(-mat_param(3) * cpath)
+        cjac = jnp.abs(wol_z) / jnp.maximum(jnp.abs(co_z), 1e-6) \
+            * (inv_ce * inv_ce)
+        csc = (1.0 - fi_c) * (1.0 - fo_c) * cjac
+        f_r = jnp.where(is_coat, fc_r * ca_r * csc, f_r)
+        f_g = jnp.where(is_coat, fc_g * ca_g * csc, f_g)
+        f_b = jnp.where(is_coat, fc_b * ca_b * csc, f_b)
+        pdf_fwd = jnp.where(
+            is_coat,
+            (1.0 - fi_c) * pdfc * jnp.abs(wol_z)
+            / jnp.maximum(c_eta * c_eta * jnp.abs(co_z), 1e-9),
+            pdf_fwd)
     # medium lanes: HG phase value replaces the BSDF toward the light
     # (exact importance sampling → counter pdf = value; volpath.py
     # f_phase/pdf_phase_nee)
@@ -1075,6 +1122,47 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
                           pdf_a)
         is_delta = (is_mix & d_m) | (~is_mix & d_a)
         eta_ev = jnp.where(is_mix, eta_m, eta_a)
+    if MAT_COATING in families:
+        # coating sample (bsdf.py _coating_sample): Fresnel pick of the
+        # delta coat reflection vs the nested child sampled INSIDE the
+        # coat and refracted back out (TIR ⇒ dead lane)
+        pick_sp = uc0 < fi_c
+        u1_n = jnp.clip((uc0 - fi_c) / jnp.maximum(1.0 - fi_c, 1e-6),
+                        0.0, 1.0 - 1e-6)
+        (ncx, ncy, ncz, cwn_r, cwn_g, cwn_b, cpdf_n, cd_n, _ce) = \
+            _bsdf_sample(families, param_a, mtype_a, ci_x, ci_y, ci_z,
+                         ub0, ub1, u1_n)
+        ox2, oy2 = ncx * c_eta, ncy * c_eta
+        sin2_o = ox2 * ox2 + oy2 * oy2
+        ctir = sin2_o >= 1.0
+        oz2 = jnp.sqrt(jnp.maximum(1.0 - sin2_o, 0.0)) * jnp.sign(ncz)
+        fo_s = _fresnel_diel_f(oz2, c_eta)
+        spath = 1.0 / jnp.maximum(jnp.abs(ci_z), 1e-4) \
+            + 1.0 / jnp.maximum(jnp.abs(ncz), 1e-4)
+        t_out = 1.0 - fo_s
+        wn_r = cwn_r * jnp.exp(-mat_param(1) * spath) * t_out
+        wn_g = cwn_g * jnp.exp(-mat_param(2) * spath) * t_out
+        wn_b = cwn_b * jnp.exp(-mat_param(3) * spath) * t_out
+        pdf_no = (1.0 - fi_c) * cpdf_n * jnp.abs(oz2) \
+            / jnp.maximum(c_eta * c_eta * jnp.abs(ncz), 1e-9)
+        ok_n = ~ctir & (cpdf_n > 0.0)
+        okf = ok_n.astype(jnp.float32)
+        nwx = jnp.where(is_coat, jnp.where(pick_sp, -wil_x, ox2), nwx)
+        nwy = jnp.where(is_coat, jnp.where(pick_sp, -wil_y, oy2), nwy)
+        nwz = jnp.where(is_coat, jnp.where(pick_sp, wil_z, oz2), nwz)
+        w_r = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
+                                           okf * wn_r), w_r)
+        w_g = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
+                                           okf * wn_g), w_g)
+        w_b = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
+                                           okf * wn_b), w_b)
+        pdf_b = jnp.where(is_coat, jnp.where(pick_sp, fi_c,
+                                             okf * pdf_no), pdf_b)
+        is_delta = (is_coat & (pick_sp | (~pick_sp & cd_n))) \
+            | (~is_coat & is_delta)
+        eta_ev = jnp.where(is_coat, 1.0, eta_ev)
+
+
     # to world (nwz mirrored back for twosided back-side lanes)
     nwz = nwz * fsgn
     ndx = nwx * sx + nwy * tx_ + nwz * nsx

@@ -23,7 +23,8 @@ import numpy as np
 from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
                                 MEGA_FAMILIES, MegaTables, N_STATE,
                                 build_mega_tables, run_path)
-from ..scene.scene import (EM_CONSTANT, MAT_MIXTURE, MAT_ROUGH_DIELECTRIC,
+from ..scene.scene import (EM_CONSTANT, MAT_COATING, MAT_MIXTURE,
+                           MAT_ROUGH_DIELECTRIC,
                            SceneData)
 from .path import PathTracer
 
@@ -56,28 +57,29 @@ class MegaPathTracer(PathTracer):
         fams = set(int(x) for x in np.unique(np.asarray(scene.mat_type)))
         if fams - MEGA_FAMILIES:
             return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
-        if MAT_MIXTURE in fams:
-            # in-kernel mixture/blend/mask: one composite level, leaf
-            # children only, no weight textures, no child twosided, no
-            # textures anywhere (the child chains bypass the texture
-            # wrapper)
+        if MAT_MIXTURE in fams or MAT_COATING in fams:
+            # in-kernel mixture/blend/mask + smooth coating: one
+            # composite level, leaf children only, no weight textures,
+            # no child twosided, no textures anywhere (the child chains
+            # bypass the texture wrapper)
             mpx = np.asarray(scene.mat_params)
             mtv = np.asarray(scene.mat_type)
             mix = mtv == MAT_MIXTURE
+            coat = mtv == MAT_COATING
             if (np.asarray(scene.mat_tex) >= 0).any():
-                return False, "mixture + textures"
+                return False, "composite + textures"
             if (mpx[mix, 21] >= 0).any():
                 return False, "textured mixture weight"
-            ca = mpx[mix, 18].astype(int)
-            cb = mpx[mix, 19].astype(int)
-            kids = np.concatenate([ca, cb])
+            kids = np.concatenate([mpx[mix, 18].astype(int),
+                                   mpx[mix, 19].astype(int),
+                                   mpx[coat, 18].astype(int)])
             if (kids < 0).any() or (kids >= mtv.shape[0]).any():
-                return False, "mixture child out of range"
+                return False, "composite child out of range"
             kt = set(int(t) for t in mtv[kids])
-            if kt - (MEGA_FAMILIES - {MAT_MIXTURE}):
-                return False, "nested/unsupported mixture children"
+            if kt - (MEGA_FAMILIES - {MAT_MIXTURE, MAT_COATING}):
+                return False, "nested/unsupported composite children"
             if (mpx[kids, 15] > 0.5).any():
-                return False, "twosided mixture child"
+                return False, "twosided composite child"
         # the in-kernel microfacet branches are isotropic-GGX only
         # (rough conductor + rough dielectric); Beckmann/anisotropic
         # variants stay on the wavefront

@@ -677,3 +677,40 @@ def test_mega_mixture_mask_match_path():
     assert MegaPathTracer.supports(scene)[0]
     L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
     _assert_close(L_ref, L_m)
+
+
+def test_mega_coating_matches_path():
+    """Round-5: smooth coating (delta coat + nested child bent through
+    the interface, absorption, refraction Jacobian) vs the XLA
+    wavefront — coat over diffuse and coat over GGX."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.integrator.path import PathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    dif = d.add_material(kind="diffuse", albedo=(0.6, 0.25, 0.2))
+    coat = d.add_material(kind="coating", child_a=dif, int_ior=1.5,
+                          sigma_a=(0.1, 0.15, 0.2), thickness=1.0)
+    ggx = d.add_material(kind="roughconductor", alpha=0.25)
+    coat2 = d.add_material(kind="coating", child_a=ggx, int_ior=1.49)
+    floor = d.add_material(kind="diffuse", albedo=(0.5, 0.5, 0.55))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([-1.3, 0, 0]), material=coat)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([1.3, 0, 0]), material=coat2)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2] * 3),
+                material=floor, radiance=(13, 12, 11))
+    scene = compile_scene(d, cluster_size=64)
+    assert MegaPathTracer.supports(scene)[0]
+    L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
+    _assert_close(L_ref, L_m)
