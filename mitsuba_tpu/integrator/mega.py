@@ -1,14 +1,17 @@
 """MegaPathTracer: the fused per-bounce megakernel integrator.
 
 Drop-in replacement for PathTracer on scenes that fit the megakernel's
-VMEM budget and feature subset (area emitters + optional constant env,
-smooth or flat shading normals, diffuse/conductor/roughconductor/
-dielectric — accel.megakernel.MEGA_FAMILIES — no textures, no medium).
-Construct with `MegaPathTracer.for_scene(scene, ...)` — the scene
-tables are packed host-side once and close over the jit.
+VMEM budget and feature subset — accel.megakernel.MEGA_FAMILIES (13
+leaf BSDF families + mixture/mask and smooth-coating composites),
+area/constant/point/spot/directional emitters, pinhole or thin-lens
+perspective sensors, flat or smooth shading, analytic checkerboard/
+grid procedural textures, and (MegaVolPathTracer) a global homogeneous
+medium with HG phase. `supports()` reports whether a scene qualifies;
+construct with `for_scene(scene, ...)` — the scene tables are packed
+host-side once and close over the jit.
 
-Estimator and RNG streams are identical to PathTracer; tests assert
-lane-level agreement.
+Estimator and RNG streams are identical to PathTracer/VolPathTracer;
+tests assert lane-level agreement.
 """
 from __future__ import annotations
 
