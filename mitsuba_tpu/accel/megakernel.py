@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
                            EM_SPOT, MAT_COATING, MAT_CONDUCTOR,
-                           MAT_DIELECTRIC,
+                           MAT_DIELECTRIC, MAT_ROUGH_COATING,
                            MAT_DIFFTRANS, MAT_DIFFUSE, MAT_MIXTURE,
                            MAT_NULL,
                            MAT_PHONG, MAT_PLASTIC, MAT_ROUGH_CONDUCTOR,
@@ -71,7 +71,8 @@ MEGA_FAMILIES = frozenset(
     {MAT_DIFFUSE, MAT_CONDUCTOR, MAT_ROUGH_CONDUCTOR, MAT_DIELECTRIC,
      MAT_PLASTIC, MAT_PHONG, MAT_WARD, MAT_ROUGH_DIFFUSE,
      MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL,
-     MAT_ROUGH_DIELECTRIC, MAT_MIXTURE, MAT_COATING})
+     MAT_ROUGH_DIELECTRIC, MAT_MIXTURE, MAT_COATING,
+     MAT_ROUGH_COATING})
 
 # emitter types the in-kernel NEE chain understands (mega.py validates)
 MEGA_EM_TYPES = frozenset(
@@ -756,13 +757,15 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
     # chain IS the leaf dispatch)
     has_mix = MAT_MIXTURE in families
     has_coat = MAT_COATING in families
-    if has_mix or has_coat:
+    has_rc = MAT_ROUGH_COATING in families
+    if has_mix or has_coat or has_rc:
         is_mix = (mtype == float(MAT_MIXTURE)) if has_mix else None
         is_coat = (mtype == float(MAT_COATING)) if has_coat else None
-        if has_mix and has_coat:
-            is_comp = is_mix | is_coat
-        else:
-            is_comp = is_mix if has_mix else is_coat
+        is_rc = (mtype == float(MAT_ROUGH_COATING)) if has_rc else None
+        masks = [m for m in (is_mix, is_coat, is_rc) if m is not None]
+        is_comp = masks[0]
+        for m in masks[1:]:
+            is_comp = is_comp | m
         ida = jnp.where(is_comp, mat_param(18), mat_id)
         param_a = make_chain(ida)
         mtype_a = param_a(12)
@@ -772,7 +775,7 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
             mtype_b = param_b(12)
             w_mix = jnp.where(is_mix, mat_param(20), 1.0)
     else:
-        is_mix = is_coat = None
+        is_mix = is_coat = is_rc = None
         param_a, mtype_a = mat_param, mtype
 
     # ---- emission on hit + env on escape ------------------------------
@@ -987,16 +990,16 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
         f_b = jnp.where(is_mix, w_mix * f_b + one_w * fb_b, f_b)
         pdf_fwd = jnp.where(is_mix, w_mix * pdf_fwd + one_w * pdf_fb,
                             pdf_fwd)
-    if MAT_COATING in families:
-        # smooth coating NEE (bsdf.py _coating_eval/_coating_pdf; ref:
-        # src/bsdfs/coating.cpp): bend wi/wo into the coat (sinθ'=
-        # sinθ/η), evaluate the nested child there, apply absorption
-        # e^{−σa·t·path}, both interface transmittances and the dω'/dω
-        # Jacobian with the 1/η² radiance compression
+    if MAT_COATING in families or MAT_ROUGH_COATING in families:
+        # smooth/rough coating NEE (bsdf.py _coating_eval/_coating_pdf,
+        # _roughcoating_*; ref: src/bsdfs/{coating,roughcoating}.cpp):
+        # bend wi/wo into the coat (sinθ' = sinθ/η), evaluate the nested
+        # child there, apply absorption e^{−σa·t·path}, both interface
+        # transmittances and the dω'/dω Jacobian with the 1/η² radiance
+        # compression; roughcoating adds a GGX coat reflection lobe
         c_eta = jnp.maximum(mat_param(0), 1.0 + 1e-4)
         inv_ce = 1.0 / c_eta
         fi_c = _fresnel_diel_f(wil_z, c_eta)
-        fo_c = _fresnel_diel_f(wol_z, c_eta)
 
         def coat_in(vx, vy, vz):
             x, y = vx * inv_ce, vy * inv_ce
@@ -1005,26 +1008,65 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
             return x, y, z
 
         ci_x, ci_y, ci_z = coat_in(wil_x, wil_y, wil_z)
-        co_x, co_y, co_z = coat_in(wol_x, wol_y, wol_z)
-        fc_r, fc_g, fc_b, pdfc = _bsdf_eval_pdf(
-            families, param_a, mtype_a, ci_x, ci_y, ci_z,
-            co_x, co_y, co_z)
-        cpath = 1.0 / jnp.maximum(jnp.abs(ci_z), 1e-4) \
-            + 1.0 / jnp.maximum(jnp.abs(co_z), 1e-4)
-        ca_r = jnp.exp(-mat_param(1) * cpath)
-        ca_g = jnp.exp(-mat_param(2) * cpath)
-        ca_b = jnp.exp(-mat_param(3) * cpath)
-        cjac = jnp.abs(wol_z) / jnp.maximum(jnp.abs(co_z), 1e-6) \
-            * (inv_ce * inv_ce)
-        csc = (1.0 - fi_c) * (1.0 - fo_c) * cjac
-        f_r = jnp.where(is_coat, fc_r * ca_r * csc, f_r)
-        f_g = jnp.where(is_coat, fc_g * ca_g * csc, f_g)
-        f_b = jnp.where(is_coat, fc_b * ca_b * csc, f_b)
-        pdf_fwd = jnp.where(
-            is_coat,
-            (1.0 - fi_c) * pdfc * jnp.abs(wol_z)
-            / jnp.maximum(c_eta * c_eta * jnp.abs(co_z), 1e-9),
-            pdf_fwd)
+
+        def coat_terms(wox, woy, woz):
+            """(f rgb, pdf) of the THROUGH-COAT nested component at
+            (wil, wo) — shared by coat NEE/eval and the rc combined
+            weight."""
+            fo = _fresnel_diel_f(woz, c_eta)
+            cox, coy, coz = coat_in(wox, woy, woz)
+            er, eg, eb, pn = _bsdf_eval_pdf(
+                families, param_a, mtype_a, ci_x, ci_y, ci_z,
+                cox, coy, coz)
+            path = 1.0 / jnp.maximum(jnp.abs(ci_z), 1e-4) \
+                + 1.0 / jnp.maximum(jnp.abs(coz), 1e-4)
+            jac = jnp.abs(woz) / jnp.maximum(jnp.abs(coz), 1e-6) \
+                * (inv_ce * inv_ce)
+            sc = (1.0 - fi_c) * (1.0 - fo) * jac
+            fr = er * jnp.exp(-mat_param(1) * path) * sc
+            fg = eg * jnp.exp(-mat_param(2) * path) * sc
+            fb = eb * jnp.exp(-mat_param(3) * path) * sc
+            pp = (1.0 - fi_c) * pn * jnp.abs(woz) \
+                / jnp.maximum(c_eta * c_eta * jnp.abs(coz), 1e-9)
+            return fr, fg, fb, pp
+
+        if MAT_ROUGH_COATING in families:
+            rc_a = jnp.maximum(mat_param(9), 1e-4)
+
+            def rc_spec_terms(wox, woy, woz):
+                """(f·cosθo scalar, pdf) of the GGX coat reflection
+                lobe (bsdf.py _rough_coat_spec_eval/_pdf, upper
+                hemisphere, visible-normal pdf)."""
+                hx, hy, hz = _normalize3(wil_x + wox, wil_y + woy,
+                                         wil_z + woz)
+                d_h = _ggx_d(hx, hy, hz, rc_a)
+                wih = wil_x * hx + wil_y * hy + wil_z * hz
+                f_h = _fresnel_diel_f(wih, c_eta)
+                g_h = _ggx_g1(wil_x, wil_y, wil_z, hx, hy, hz, rc_a) \
+                    * _ggx_g1(wox, woy, woz, hx, hy, hz, rc_a)
+                up = (wil_z > 0.0) & (woz > 0.0)
+                upf = up.astype(jnp.float32)
+                val = mat_param(4) * f_h * d_h * g_h \
+                    / jnp.maximum(4.0 * jnp.abs(wil_z), 1e-7) * upf
+                g1i = _ggx_g1(wil_x, wil_y, wil_z, hx, hy, hz, rc_a)
+                pdf_h = g1i * jnp.abs(wih) * d_h \
+                    / jnp.maximum(jnp.abs(wil_z), 1e-12)
+                woh = wox * hx + woy * hy + woz * hz
+                pp = pdf_h / jnp.maximum(4.0 * jnp.abs(woh), 1e-7) * upf
+                return val, pp
+
+        cf_r, cf_g, cf_b, cpdf_nee = coat_terms(wol_x, wol_y, wol_z)
+        if is_coat is not None:
+            f_r = jnp.where(is_coat, cf_r, f_r)
+            f_g = jnp.where(is_coat, cf_g, f_g)
+            f_b = jnp.where(is_coat, cf_b, f_b)
+            pdf_fwd = jnp.where(is_coat, cpdf_nee, pdf_fwd)
+        if MAT_ROUGH_COATING in families:
+            sv, sp = rc_spec_terms(wol_x, wol_y, wol_z)
+            f_r = jnp.where(is_rc, cf_r + sv, f_r)
+            f_g = jnp.where(is_rc, cf_g + sv, f_g)
+            f_b = jnp.where(is_rc, cf_b + sv, f_b)
+            pdf_fwd = jnp.where(is_rc, fi_c * sp + cpdf_nee, pdf_fwd)
     # medium lanes: HG phase value replaces the BSDF toward the light
     # (exact importance sampling → counter pdf = value; volpath.py
     # f_phase/pdf_phase_nee)
@@ -1122,10 +1164,11 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
                           pdf_a)
         is_delta = (is_mix & d_m) | (~is_mix & d_a)
         eta_ev = jnp.where(is_mix, eta_m, eta_a)
-    if MAT_COATING in families:
-        # coating sample (bsdf.py _coating_sample): Fresnel pick of the
-        # delta coat reflection vs the nested child sampled INSIDE the
-        # coat and refracted back out (TIR ⇒ dead lane)
+    if MAT_COATING in families or MAT_ROUGH_COATING in families:
+        # coating sample (bsdf.py _coating_sample/_roughcoating_sample):
+        # Fresnel pick of the coat reflection (delta mirror for smooth,
+        # GGX visible-normal lobe for rough) vs the nested child sampled
+        # INSIDE the coat and refracted back out (TIR ⇒ dead lane)
         pick_sp = uc0 < fi_c
         u1_n = jnp.clip((uc0 - fi_c) / jnp.maximum(1.0 - fi_c, 1e-6),
                         0.0, 1.0 - 1e-6)
@@ -1147,20 +1190,84 @@ def _bounce_rows(tc, c_clusters, families, rr_depth, max_depth,
             / jnp.maximum(c_eta * c_eta * jnp.abs(ncz), 1e-9)
         ok_n = ~ctir & (cpdf_n > 0.0)
         okf = ok_n.astype(jnp.float32)
-        nwx = jnp.where(is_coat, jnp.where(pick_sp, -wil_x, ox2), nwx)
-        nwy = jnp.where(is_coat, jnp.where(pick_sp, -wil_y, oy2), nwy)
-        nwz = jnp.where(is_coat, jnp.where(pick_sp, wil_z, oz2), nwz)
-        w_r = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
-                                           okf * wn_r), w_r)
-        w_g = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
-                                           okf * wn_g), w_g)
-        w_b = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
-                                           okf * wn_b), w_b)
-        pdf_b = jnp.where(is_coat, jnp.where(pick_sp, fi_c,
-                                             okf * pdf_no), pdf_b)
-        is_delta = (is_coat & (pick_sp | (~pick_sp & cd_n))) \
-            | (~is_coat & is_delta)
-        eta_ev = jnp.where(is_coat, 1.0, eta_ev)
+        if is_coat is not None:
+            nwx = jnp.where(is_coat, jnp.where(pick_sp, -wil_x, ox2),
+                            nwx)
+            nwy = jnp.where(is_coat, jnp.where(pick_sp, -wil_y, oy2),
+                            nwy)
+            nwz = jnp.where(is_coat, jnp.where(pick_sp, wil_z, oz2),
+                            nwz)
+            w_r = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
+                                               okf * wn_r), w_r)
+            w_g = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
+                                               okf * wn_g), w_g)
+            w_b = jnp.where(is_coat, jnp.where(pick_sp, mat_param(4),
+                                               okf * wn_b), w_b)
+            pdf_b = jnp.where(is_coat, jnp.where(pick_sp, fi_c,
+                                                 okf * pdf_no), pdf_b)
+            is_delta = (is_coat & (pick_sp | (~pick_sp & cd_n))) \
+                | (~is_coat & is_delta)
+            eta_ev = jnp.where(is_coat, 1.0, eta_ev)
+        if MAT_ROUGH_COATING in families:
+            # GGX coat lobe: VNDF micronormal from wil (upper hemi)
+            vx, vy, vz = _normalize3(rc_a * wil_x, rc_a * wil_y, wil_z)
+            lensq = vx * vx + vy * vy
+            inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+            big = lensq > 1e-20
+            t1x = jnp.where(big, -vy * inv_len, 1.0)
+            t1y = jnp.where(big, vx * inv_len, 0.0)
+            t1z = jnp.zeros_like(vx)
+            t2x = vy * t1z - vz * t1y
+            t2y = vz * t1x - vx * t1z
+            t2z = vx * t1y - vy * t1x
+            rrs = jnp.sqrt(jnp.maximum(ub0, 0.0))
+            phs = 2.0 * np.pi * ub1
+            p1 = rrs * jnp.cos(phs)
+            p2 = rrs * jnp.sin(phs)
+            ssf = 0.5 * (1.0 + vz)
+            p2 = (1.0 - ssf) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) \
+                + ssf * p2
+            p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+            nhx = p1 * t1x + p2 * t2x + p3 * vx
+            nhy = p1 * t1y + p2 * t2y + p3 * vy
+            nhz = p1 * t1z + p2 * t2z + p3 * vz
+            rmx, rmy, rmz = _normalize3(rc_a * nhx, rc_a * nhy,
+                                        jnp.maximum(nhz, 1e-6))
+            wim_r = wil_x * rmx + wil_y * rmy + wil_z * rmz
+            rsx = 2.0 * wim_r * rmx - wil_x
+            rsy = 2.0 * wim_r * rmy - wil_y
+            rsz = 2.0 * wim_r * rmz - wil_z
+            rx_o = jnp.where(pick_sp, rsx, ox2)
+            ry_o = jnp.where(pick_sp, rsy, oy2)
+            rz_o = jnp.where(pick_sp, rsz, oz2)
+            # smooth lanes: full combined eval/pdf across both lobes
+            rcf_r, rcf_g, rcf_b, rcp_c = coat_terms(rx_o, ry_o, rz_o)
+            rsv, rsp = rc_spec_terms(rx_o, ry_o, rz_o)
+            f_all_r = rcf_r + rsv
+            f_all_g = rcf_g + rsv
+            f_all_b = rcf_b + rsv
+            pdf_all = fi_c * rsp + rcp_c
+            ipa = jnp.where(pdf_all > 1e-9,
+                            1.0 / jnp.maximum(pdf_all, 1e-9), 0.0)
+            nested_delta = ~pick_sp & cd_n
+            dead = pick_sp & (rsz <= 0.0)
+            live = (~dead).astype(jnp.float32)
+
+            def rc_w(f_all, wn):
+                smooth_w = f_all * ipa * live
+                return jnp.where(nested_delta, okf * wn, smooth_w)
+
+            nwx = jnp.where(is_rc, rx_o, nwx)
+            nwy = jnp.where(is_rc, ry_o, nwy)
+            nwz = jnp.where(is_rc, rz_o, nwz)
+            w_r = jnp.where(is_rc, rc_w(f_all_r, wn_r), w_r)
+            w_g = jnp.where(is_rc, rc_w(f_all_g, wn_g), w_g)
+            w_b = jnp.where(is_rc, rc_w(f_all_b, wn_b), w_b)
+            pdf_b = jnp.where(
+                is_rc, jnp.where(nested_delta, okf * pdf_no,
+                                 pdf_all * live), pdf_b)
+            is_delta = (is_rc & nested_delta) | (~is_rc & is_delta)
+            eta_ev = jnp.where(is_rc, 1.0, eta_ev)
 
 
     # to world (nwz mirrored back for twosided back-side lanes)

@@ -27,7 +27,7 @@ from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
                                 MEGA_FAMILIES, MegaTables, N_STATE,
                                 build_mega_tables, run_path)
 from ..scene.scene import (EM_CONSTANT, MAT_COATING, MAT_MIXTURE,
-                           MAT_ROUGH_DIELECTRIC,
+                           MAT_ROUGH_COATING, MAT_ROUGH_DIELECTRIC,
                            SceneData)
 from .path import PathTracer
 
@@ -60,7 +60,8 @@ class MegaPathTracer(PathTracer):
         fams = set(int(x) for x in np.unique(np.asarray(scene.mat_type)))
         if fams - MEGA_FAMILIES:
             return False, f"unsupported BSDF families {fams - MEGA_FAMILIES}"
-        if MAT_MIXTURE in fams or MAT_COATING in fams:
+        if MAT_MIXTURE in fams or MAT_COATING in fams \
+                or MAT_ROUGH_COATING in fams:
             # in-kernel mixture/blend/mask + smooth coating: one
             # composite level, leaf children only, no weight textures,
             # no child twosided, no textures anywhere (the child chains
@@ -68,7 +69,7 @@ class MegaPathTracer(PathTracer):
             mpx = np.asarray(scene.mat_params)
             mtv = np.asarray(scene.mat_type)
             mix = mtv == MAT_MIXTURE
-            coat = mtv == MAT_COATING
+            coat = (mtv == MAT_COATING) | (mtv == MAT_ROUGH_COATING)
             if (np.asarray(scene.mat_tex) >= 0).any():
                 return False, "composite + textures"
             if (mpx[mix, 21] >= 0).any():
@@ -79,7 +80,8 @@ class MegaPathTracer(PathTracer):
             if (kids < 0).any() or (kids >= mtv.shape[0]).any():
                 return False, "composite child out of range"
             kt = set(int(t) for t in mtv[kids])
-            if kt - (MEGA_FAMILIES - {MAT_MIXTURE, MAT_COATING}):
+            if kt - (MEGA_FAMILIES
+                     - {MAT_MIXTURE, MAT_COATING, MAT_ROUGH_COATING}):
                 return False, "nested/unsupported composite children"
             if (mpx[kids, 15] > 0.5).any():
                 return False, "twosided composite child"
@@ -88,12 +90,15 @@ class MegaPathTracer(PathTracer):
         # variants stay on the wavefront
         from ..scene.scene import MAT_ROUGH_CONDUCTOR
         for code, nm in ((MAT_ROUGH_DIELECTRIC, "roughdielectric"),
-                         (MAT_ROUGH_CONDUCTOR, "roughconductor")):
+                         (MAT_ROUGH_CONDUCTOR, "roughconductor"),
+                         (MAT_ROUGH_COATING, "roughcoating")):
             if code in fams:
                 mpx = np.asarray(scene.mat_params)
                 rd = np.asarray(scene.mat_type) == code
-                if (mpx[rd, 11] != 1).any() or \
-                        (mpx[rd, 9] != mpx[rd, 10]).any():
+                # roughcoating has no alpha_v slot (builder leaves p10=0)
+                aniso = (mpx[rd, 9] != mpx[rd, 10]).any() \
+                    if code != MAT_ROUGH_COATING else False
+                if (mpx[rd, 11] != 1).any() or aniso:
                     return False, f"non-GGX/anisotropic {nm}"
         if bool(np.asarray(scene.has_medium)):
             if not allow_medium:

@@ -714,3 +714,36 @@ def test_mega_coating_matches_path():
     assert MegaPathTracer.supports(scene)[0]
     L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
     _assert_close(L_ref, L_m)
+
+
+def test_mega_roughcoating_matches_path():
+    """Round-5: rough coating (GGX coat lobe + nested child through the
+    interface, MIS-combined weights) vs the XLA wavefront, plus the
+    high-spp statistical mean check from the coating validation
+    recipe."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    dif = d.add_material(kind="diffuse", albedo=(0.55, 0.2, 0.15))
+    rc = d.add_material(kind="roughcoating", child_a=dif, int_ior=1.5,
+                        alpha=0.1, sigma_a=(0.05, 0.08, 0.1),
+                        distribution="ggx")
+    floor = d.add_material(kind="diffuse", albedo=(0.5, 0.5, 0.55))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    d.add_shape(shapes.sphere(12, 24), material=rc)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2] * 3),
+                material=floor, radiance=(13, 12, 11))
+    scene = compile_scene(d, cluster_size=64)
+    assert MegaPathTracer.supports(scene)[0]
+    L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
+    _assert_close(L_ref, L_m)
