@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
                            EM_SPOT, MAT_COATING, MAT_CONDUCTOR,
                            MAT_DIELECTRIC, MAT_ROUGH_COATING,
+                           MAT_ROUGH_PLASTIC,
                            MAT_DIFFTRANS, MAT_DIFFUSE, MAT_MIXTURE,
                            MAT_NULL,
                            MAT_PHONG, MAT_PLASTIC, MAT_ROUGH_CONDUCTOR,
@@ -72,7 +73,7 @@ MEGA_FAMILIES = frozenset(
      MAT_PLASTIC, MAT_PHONG, MAT_WARD, MAT_ROUGH_DIFFUSE,
      MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL,
      MAT_ROUGH_DIELECTRIC, MAT_MIXTURE, MAT_COATING,
-     MAT_ROUGH_COATING})
+     MAT_ROUGH_COATING, MAT_ROUGH_PLASTIC})
 
 # emitter types the in-kernel NEE chain understands (mega.py validates)
 MEGA_EM_TYPES = frozenset(
@@ -80,7 +81,8 @@ MEGA_EM_TYPES = frozenset(
 
 # families whose sampler draws a cosine-hemisphere candidate
 MEGA_COS_FAMILIES = {MAT_DIFFUSE, MAT_ROUGH_DIFFUSE, MAT_PLASTIC,
-                     MAT_PHONG, MAT_WARD, MAT_DIFFTRANS}
+                     MAT_PHONG, MAT_WARD, MAT_DIFFTRANS,
+                     MAT_ROUGH_PLASTIC}
 
 _U32 = jnp.uint32
 _MISS = 1e30
@@ -107,6 +109,11 @@ N_ATTR = 25           # slim per-triangle attrs: ng xyz (0:3), mat_id (3),
 # procedural-texture meta for the in-kernel analytic evaluation
 TEXROW = 24           # 24 kind (-1 none, 0 checker, 1 grid), 25:28 c0,
                       # 28:31 c1, 31 res, 32 tiles, 33 line_width
+# rough-plastic transmittance meta (bsdf/rtrans.py tables collapsed to
+# per-material 1D cosθ slices at build time — eta/alpha are material
+# constants, so the 3D trilinear lookup reduces to a 32-knot lerp):
+RTROW = TEXROW + 10   # 34 internal Fdr scalar, 35:67 T(cosθ) slice,
+RT_KNOTS = 32         # 67 cosθ grid lo, 68 cosθ grid hi
 
 ENV_DIST = 1e30       # env "distance" sentinel (emitter.py ENV_DIST)
 
@@ -321,8 +328,28 @@ def build_mega_tables(scene: SceneData, tc: int | None = None,
     mat = np.asarray(scene.mat_params)
     m_real = mat.shape[0]
     m_pad = max(8, -(-m_real // 8) * 8)
-    mat_p = np.zeros((TEXROW + 10, m_pad), np.float32)
+    mat_p = np.zeros((RTROW + RT_KNOTS + 3, m_pad), np.float32)
     mat_p[:mat.shape[1], :m_real] = mat.T
+    # rough-plastic per-material rtrans slices (see RTROW above)
+    from ..scene.scene import MAT_ROUGH_PLASTIC as _MRP
+    if (mat[:, 12] == _MRP).any():
+        from ..bsdf import rtrans
+        for mi in range(m_real):
+            if mat[mi, 12] != _MRP:
+                continue
+            eta_m = float(max(mat[mi, 0], 1e-3))
+            a_m = float(max(mat[mi, 9], 1e-4))
+            ggx = bool(mat[mi, 11] == 1)
+            pack = rtrans.transmittance_table(ggx)
+            coss = np.asarray(pack[3], np.float64)
+            mat_p[RTROW + 1:RTROW + 1 + RT_KNOTS, mi] = [
+                float(rtrans.lookup(pack, eta_m, a_m, float(c)))
+                for c in coss]
+            dpk = rtrans.diffuse_transmittance_inv(ggx)
+            mat_p[RTROW, mi] = 1.0 - float(
+                rtrans.lookup_diffuse(dpk, eta_m, a_m))
+            mat_p[RTROW + 1 + RT_KNOTS, mi] = float(coss[0])
+            mat_p[RTROW + 2 + RT_KNOTS, mi] = float(coss[-1])
     # procedural-texture meta rows (TEXROW..): analytic checker/grid
     # parameters per material whose albedo slot (col 13) has recorded
     # provenance — the kernel evaluates these bilinearly, in exact
@@ -1606,6 +1633,60 @@ def _rd_terms(mat_param, wix, wiy, wiz, wox, woy, woz):
     return vs, refl, pdf, ok
 
 
+def _rp_terms(mat_param, wix, wiy, wiz, wox, woy, woz):
+    """Rough-plastic f·cosθo (rgb) + pdf at a (wi, wo) pair — mirrors
+    bsdf.py roughplastic_eval/_pdf (ref: src/bsdfs/roughplastic.cpp):
+    GGX specular lobe + diffuse base seen through the rough interface
+    (T12·T21 from the per-material rtrans slice rows, α-dependent
+    internal Fdr). Caller masks by family + hemisphere validity."""
+    eta = jnp.maximum(mat_param(0), 1e-3)
+    a = jnp.maximum(mat_param(9), 1e-4)
+    hx, hy, hz = _normalize3(wix + wox, wiy + woy, wiz + woz)
+    wih = wix * hx + wiy * hy + wiz * hz
+    fm = _fresnel_diel_f(wih, eta)
+    d_h = _ggx_d(hx, hy, hz, a)
+    g1i = _ggx_g1(wix, wiy, wiz, hx, hy, hz, a)
+    g1o = _ggx_g1(wox, woy, woz, hx, hy, hz, a)
+    spec_base = fm * d_h * g1i * g1o / jnp.maximum(4.0 * wiz, 1e-7)
+
+    c0 = mat_param(RTROW + 1 + RT_KNOTS)
+    c1 = mat_param(RTROW + 2 + RT_KNOTS)
+    inv_span = float(RT_KNOTS - 1) / jnp.maximum(c1 - c0, 1e-6)
+    rows = [mat_param(RTROW + 1 + k) for k in range(RT_KNOTS)]
+
+    def rt_interp(ct):
+        xx = (jnp.clip(ct, c0, c1) - c0) * inv_span
+        i0 = jnp.clip(jnp.floor(xx), 0.0, float(RT_KNOTS - 2))
+        fcv = xx - i0
+        v = rows[0] * (1.0 - fcv) + rows[1] * fcv
+        for k in range(1, RT_KNOTS - 1):
+            vk = rows[k] * (1.0 - fcv) + rows[k + 1] * fcv
+            v = jnp.where(i0 == float(k), vk, v)
+        return v
+
+    t12 = rt_interp(wiz)
+    t21 = rt_interp(woz)
+    fdr = mat_param(RTROW)
+    inv_eta2 = 1.0 / (eta * eta)
+    base_d = INV_PI * t12 * t21 * jnp.maximum(woz, 0.0)
+    nonlin = mat_param(7) > 0.5
+    fs = []
+    for ch in range(3):
+        kd = mat_param(1 + ch)
+        ks = mat_param(4 + ch)
+        den = jnp.where(nonlin, 1.0 - kd * fdr, 1.0 - fdr)
+        fs.append(ks * spec_base
+                  + kd * inv_eta2 / jnp.maximum(den, 1e-4) * base_d)
+    fi = _fresnel_diel_f(wiz, eta)
+    prob_s = jnp.clip(fi, 0.25, 0.9)
+    pdf_h = g1i * jnp.abs(wih) * d_h / jnp.maximum(wiz, 1e-12)
+    woh = wox * hx + woy * hy + woz * hz
+    pdf_s = pdf_h / jnp.maximum(4.0 * jnp.abs(woh), 1e-7)
+    pdf_d = jnp.maximum(woz, 0.0) * INV_PI
+    pdf = prob_s * pdf_s + (1.0 - prob_s) * pdf_d
+    return fs[0], fs[1], fs[2], pdf, prob_s
+
+
 def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
                    wox, woy, woz):
     """f·cosθo (rgb) + solid-angle pdf for the smooth component."""
@@ -1638,6 +1719,15 @@ def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
         pdf_h = g1i * jnp.abs(wim) * d_ndf / jnp.maximum(wiz, 1e-12)
         pdf = pdf + s * pdf_h / jnp.maximum(
             4.0 * jnp.abs(wox * hx + woy * hy + woz * hz), 1e-7)
+    if MAT_ROUGH_PLASTIC in families:
+        sel = (mtype == float(MAT_ROUGH_PLASTIC)) & valid
+        s = sel.astype(jnp.float32)
+        rp_r, rp_g, rp_b, rp_pdf, _pr = _rp_terms(
+            mat_param, wix, wiy, wiz, wox, woy, woz)
+        f_r = f_r + s * rp_r
+        f_g = f_g + s * rp_g
+        f_b = f_b + s * rp_b
+        pdf = pdf + s * rp_pdf
     if MAT_ROUGH_DIELECTRIC in families:
         # Walter rough glass: reflection + transmission lobes, two-sided
         sel = mtype == float(MAT_ROUGH_DIELECTRIC)
@@ -2107,6 +2197,56 @@ def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
         w_b = jnp.where(sel, one, w_b)
         pdf = jnp.where(sel, one, pdf)
         is_delta = is_delta | sel
+
+    if MAT_ROUGH_PLASTIC in families:
+        # GGX spec lobe vs cosine diffuse base, picked by the clamped
+        # Fresnel weight; weight = f/pdf re-evaluated at the chosen wo
+        # (bsdf.py roughplastic_sample)
+        sel = mtype == float(MAT_ROUGH_PLASTIC)
+        eta = jnp.maximum(mat_param(0), 1e-3)
+        a = jnp.maximum(mat_param(9), 1e-4)
+        fi = _fresnel_diel_f(wiz, eta)
+        prob_s = jnp.clip(fi, 0.25, 0.9)
+        pick_s = uc < prob_s
+        vx, vy, vz = _normalize3(a * wix, a * wiy, wiz)
+        lensq = vx * vx + vy * vy
+        inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+        big = lensq > 1e-20
+        t1x = jnp.where(big, -vy * inv_len, 1.0)
+        t1y = jnp.where(big, vx * inv_len, 0.0)
+        t1z = jnp.zeros_like(vx)
+        t2x = vy * t1z - vz * t1y
+        t2y = vz * t1x - vx * t1z
+        t2z = vx * t1y - vy * t1x
+        rr_ = jnp.sqrt(jnp.maximum(u0, 0.0))
+        ph_ = 2.0 * np.pi * u1
+        p1 = rr_ * jnp.cos(ph_)
+        p2 = rr_ * jnp.sin(ph_)
+        ss_ = 0.5 * (1.0 + vz)
+        p2 = (1.0 - ss_) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) \
+            + ss_ * p2
+        p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+        nhx = p1 * t1x + p2 * t2x + p3 * vx
+        nhy = p1 * t1y + p2 * t2y + p3 * vy
+        nhz = p1 * t1z + p2 * t2z + p3 * vz
+        mx, my, mz = _normalize3(a * nhx, a * nhy,
+                                 jnp.maximum(nhz, 1e-6))
+        wim = wix * mx + wiy * my + wiz * mz
+        csx = jnp.where(pick_s, 2.0 * wim * mx - wix, sxd)
+        csy = jnp.where(pick_s, 2.0 * wim * my - wiy, syd)
+        csz = jnp.where(pick_s, 2.0 * wim * mz - wiz, szd)
+        rp_r, rp_g, rp_b, rp_pdf, _pr = _rp_terms(
+            mat_param, wix, wiy, wiz, csx, csy, csz)
+        okp = (wiz > 0.0) & (csz > 0.0) & (rp_pdf > 1e-12)
+        s = (sel & okp).astype(jnp.float32)
+        inv_rp = 1.0 / jnp.maximum(rp_pdf, 1e-12)
+        nwx = jnp.where(sel, csx, nwx)
+        nwy = jnp.where(sel, csy, nwy)
+        nwz = jnp.where(sel, csz, nwz)
+        w_r = jnp.where(sel, s * rp_r * inv_rp, w_r)
+        w_g = jnp.where(sel, s * rp_g * inv_rp, w_g)
+        w_b = jnp.where(sel, s * rp_b * inv_rp, w_b)
+        pdf = jnp.where(sel, s * rp_pdf, pdf)
 
     if MAT_ROUGH_DIELECTRIC in families:
         # rough glass (Walter, GGX visible normals): VNDF micronormal

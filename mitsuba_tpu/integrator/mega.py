@@ -28,7 +28,7 @@ from ..accel.megakernel import (DEF_BLOCK, DEF_PBLOCK, DEF_SUBLANES,
                                 build_mega_tables, run_path)
 from ..scene.scene import (EM_CONSTANT, MAT_COATING, MAT_MIXTURE,
                            MAT_ROUGH_COATING, MAT_ROUGH_DIELECTRIC,
-                           SceneData)
+                           MAT_ROUGH_PLASTIC, SceneData)
 from .path import PathTracer
 
 
@@ -91,7 +91,8 @@ class MegaPathTracer(PathTracer):
         from ..scene.scene import MAT_ROUGH_CONDUCTOR
         for code, nm in ((MAT_ROUGH_DIELECTRIC, "roughdielectric"),
                          (MAT_ROUGH_CONDUCTOR, "roughconductor"),
-                         (MAT_ROUGH_COATING, "roughcoating")):
+                         (MAT_ROUGH_COATING, "roughcoating"),
+                         (MAT_ROUGH_PLASTIC, "roughplastic")):
             if code in fams:
                 mpx = np.asarray(scene.mat_params)
                 rd = np.asarray(scene.mat_type) == code

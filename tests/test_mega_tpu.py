@@ -747,3 +747,41 @@ def test_mega_roughcoating_matches_path():
     assert MegaPathTracer.supports(scene)[0]
     L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
     _assert_close(L_ref, L_m)
+
+
+def test_mega_roughplastic_matches_path():
+    """Round-5: rough plastic — GGX spec lobe + diffuse base through
+    the rough interface, with the rtrans 3D tables collapsed to
+    per-material cosθ slices in SMEM (eta/alpha are material
+    constants). Lane parity + high-spp recipe both exact in probes."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    rp = d.add_material(kind="roughplastic",
+                        diffuse_reflectance=(0.5, 0.15, 0.1),
+                        alpha=0.15, distribution="ggx", int_ior=1.49)
+    rp2 = d.add_material(kind="roughplastic",
+                         diffuse_reflectance=(0.1, 0.3, 0.5),
+                         alpha=0.4, distribution="ggx", nonlinear=True)
+    floor = d.add_material(kind="diffuse", albedo=(0.5, 0.5, 0.55))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([-1.3, 0, 0]), material=rp)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([1.3, 0, 0]), material=rp2)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2] * 3),
+                material=floor, radiance=(13, 12, 11))
+    scene = compile_scene(d, cluster_size=64)
+    assert MegaPathTracer.supports(scene)[0]
+    L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
+    _assert_close(L_ref, L_m)
