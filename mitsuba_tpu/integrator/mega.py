@@ -2,7 +2,8 @@
 
 Drop-in replacement for PathTracer on scenes that fit the megakernel's
 VMEM budget and feature subset — accel.megakernel.MEGA_FAMILIES (13
-leaf BSDF families + mixture/mask and smooth-coating composites),
+leaf BSDF families incl. rough dielectric/plastic, plus mixture/mask,
+coating and roughcoating composites),
 area/constant/point/spot/directional emitters, pinhole or thin-lens
 perspective sensors, flat or smooth shading, analytic checkerboard/
 grid procedural textures, and (MegaVolPathTracer) a global homogeneous
