@@ -53,7 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import (EM_AREA, EM_CONSTANT, EM_DIRECTIONAL, EM_POINT,
-                           EM_SPOT, MAT_COATING, MAT_CONDUCTOR,
+                           EM_SPOT, MAT_ANISO_ROUGHDIFFUSE, MAT_COATING,
+                           MAT_CONDUCTOR,
                            MAT_DIELECTRIC, MAT_ROUGH_COATING,
                            MAT_ROUGH_PLASTIC,
                            MAT_DIFFTRANS, MAT_DIFFUSE, MAT_MIXTURE,
@@ -73,7 +74,7 @@ MEGA_FAMILIES = frozenset(
      MAT_PLASTIC, MAT_PHONG, MAT_WARD, MAT_ROUGH_DIFFUSE,
      MAT_THIN_DIELECTRIC, MAT_DIFFTRANS, MAT_NULL,
      MAT_ROUGH_DIELECTRIC, MAT_MIXTURE, MAT_COATING,
-     MAT_ROUGH_COATING, MAT_ROUGH_PLASTIC})
+     MAT_ROUGH_COATING, MAT_ROUGH_PLASTIC, MAT_ANISO_ROUGHDIFFUSE})
 
 # emitter types the in-kernel NEE chain understands (mega.py validates)
 MEGA_EM_TYPES = frozenset(
@@ -82,7 +83,7 @@ MEGA_EM_TYPES = frozenset(
 # families whose sampler draws a cosine-hemisphere candidate
 MEGA_COS_FAMILIES = {MAT_DIFFUSE, MAT_ROUGH_DIFFUSE, MAT_PLASTIC,
                      MAT_PHONG, MAT_WARD, MAT_DIFFTRANS,
-                     MAT_ROUGH_PLASTIC}
+                     MAT_ROUGH_PLASTIC, MAT_ANISO_ROUGHDIFFUSE}
 
 _U32 = jnp.uint32
 _MISS = 1e30
@@ -1687,6 +1688,59 @@ def _rp_terms(mat_param, wix, wiy, wiz, wox, woy, woz):
     return fs[0], fs[1], fs[2], pdf, prob_s
 
 
+def _leadr_terms(mat_param, wix, wiy, wiz, wox, woy, woz):
+    """LEADR anisotropic rough diffuse scalar radiance factor (bsdf.py
+    anisoroughdiffuse_eval; ref: src/bsdfs/aniso_roughdiffuse.cpp):
+    deterministic 4-point unscented quadrature over the slope Gaussian
+    with moments-derived Smith G2. Returns (scale, extra-valid mask);
+    f·cosθo = albedo · scale on valid lanes."""
+    mux, muy = mat_param(3), mat_param(4)
+    sx2 = jnp.maximum(mat_param(5) - mux * mux, 1e-8)
+    sy2 = jnp.maximum(mat_param(6) - muy * muy, 1e-8)
+    cxy = mat_param(7) - mux * muy
+    use_vis = mat_param(11) > 0.5
+    ml = jax.lax.rsqrt(mux * mux + muy * muy + 1.0)
+    mnx, mny, mnz = -mux * ml, -muy * ml, ml
+    win = wix * mnx + wiy * mny + wiz * mnz
+
+    def lam(wx, wy, wz):
+        st = jnp.sqrt(jnp.maximum(1.0 - wz * wz, 0.0))
+        st_s = jnp.maximum(st, 1e-7)
+        cphi, sphi = wx / st_s, wy / st_s
+        cot = wz / st_s
+        mu_phi = cphi * mux + sphi * muy
+        s2phi = jnp.maximum(cphi * cphi * sx2 + sphi * sphi * sy2
+                            + 2.0 * cphi * sphi * cxy, 1e-12)
+        v = (cot - mu_phi) / jnp.sqrt(2.0 * s2phi)
+        lm = jnp.where(
+            v < 0.0, 1e8,
+            jnp.where(v < 1.6,
+                      (1.0 - 1.259 * v + 0.396 * v * v)
+                      / jnp.maximum(3.535 * v + 2.181 * v * v, 1e-12),
+                      0.0))
+        return jnp.where(st < 1e-6, 0.0, lm)
+
+    g2 = 1.0 / (1.0 + lam(wix, wiy, wiz) + lam(wox, woy, woz))
+    l11 = jnp.sqrt(sx2)
+    l21 = cxy / l11
+    l22 = jnp.sqrt(jnp.maximum(sy2 - l21 * l21, 1e-12))
+    r = 0.0
+    s2c = float(np.sqrt(2.0))
+    for (z0, z1) in ((s2c, 0.0), (-s2c, 0.0), (0.0, s2c), (0.0, -s2c)):
+        sx = mux + l11 * z0
+        sy = muy + l21 * z0 + l22 * z1
+        il = jax.lax.rsqrt(sx * sx + sy * sy + 1.0)
+        wmx, wmy, wmz = -sx * il, -sy * il, il
+        di = jnp.maximum(wmx * wix + wmy * wiy + wmz * wiz, 0.0)
+        do = jnp.maximum(wmx * wox + wmy * woy + wmz * woz, 0.0)
+        term = di * do / wmz
+        term = jnp.where(use_vis & (di > 1e-7) & (do > 1e-7), term * g2,
+                         jnp.where(use_vis, 0.0, term))
+        r = r + 0.25 * term
+    scale = INV_PI * mnz / jnp.maximum(win, 1e-7) * r
+    return scale, win > 0.0
+
+
 def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
                    wox, woy, woz):
     """f·cosθo (rgb) + solid-angle pdf for the smooth component."""
@@ -1719,6 +1773,15 @@ def _bsdf_eval_pdf(families, mat_param, mtype, wix, wiy, wiz,
         pdf_h = g1i * jnp.abs(wim) * d_ndf / jnp.maximum(wiz, 1e-12)
         pdf = pdf + s * pdf_h / jnp.maximum(
             4.0 * jnp.abs(wox * hx + woy * hy + woz * hz), 1e-7)
+    if MAT_ANISO_ROUGHDIFFUSE in families:
+        sel = (mtype == float(MAT_ANISO_ROUGHDIFFUSE)) & valid
+        sc_l, vl = _leadr_terms(mat_param, wix, wiy, wiz,
+                                wox, woy, woz)
+        s = (sel & vl).astype(jnp.float32)
+        f_r = f_r + s * mat_param(0) * sc_l
+        f_g = f_g + s * mat_param(1) * sc_l
+        f_b = f_b + s * mat_param(2) * sc_l
+        pdf = pdf + sel.astype(jnp.float32) * woz * INV_PI
     if MAT_ROUGH_PLASTIC in families:
         sel = (mtype == float(MAT_ROUGH_PLASTIC)) & valid
         s = sel.astype(jnp.float32)
@@ -1913,6 +1976,25 @@ def _bsdf_sample(families, mat_param, mtype, wix, wiy, wiz, u0, u1, uc):
         w_g = jnp.where(sel, s * mat_param(1), w_g)
         w_b = jnp.where(sel, s * mat_param(2), w_b)
         pdf = jnp.where(sel, s * szd * INV_PI, pdf)
+
+    if MAT_ANISO_ROUGHDIFFUSE in families:
+        # cosine sample, weight = f/pdf (anisoroughdiffuse_sample)
+        sel = mtype == float(MAT_ANISO_ROUGHDIFFUSE)
+        sc_l, vl = _leadr_terms(mat_param, wix, wiy, wiz,
+                                sxd, syd, szd)
+        ok = (wiz > 0.0) & (szd > 0.0) & vl
+        pdf_c = szd * INV_PI
+        s = (sel & ok).astype(jnp.float32)
+        inv_pc = 1.0 / jnp.maximum(pdf_c, 1e-6)
+        nwx = jnp.where(sel, sxd, nwx)
+        nwy = jnp.where(sel, syd, nwy)
+        nwz = jnp.where(sel, szd, nwz)
+        w_r = jnp.where(sel, s * mat_param(0) * sc_l * inv_pc, w_r)
+        w_g = jnp.where(sel, s * mat_param(1) * sc_l * inv_pc, w_g)
+        w_b = jnp.where(sel, s * mat_param(2) * sc_l * inv_pc, w_b)
+        pdf = jnp.where(sel,
+                        ((wiz > 0.0) & (szd > 0.0)).astype(jnp.float32)
+                        * pdf_c, pdf)
 
     if MAT_CONDUCTOR in families:
         sel = mtype == float(MAT_CONDUCTOR)

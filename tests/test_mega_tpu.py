@@ -785,3 +785,44 @@ def test_mega_roughplastic_matches_path():
     assert MegaPathTracer.supports(scene)[0]
     L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
     _assert_close(L_ref, L_m)
+
+
+def test_mega_leadr_matches_path():
+    """Round-5: LEADR anisotropic rough diffuse (4-point unscented
+    quadrature over the slope Gaussian, moments-derived Smith G2) in
+    the in-kernel dispatch vs the XLA wavefront — both the
+    visibility-on and visibility-off variants."""
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core import transform as tfm
+    from mitsuba_tpu.integrator.mega import MegaPathTracer
+    from mitsuba_tpu.scene import shapes
+    from mitsuba_tpu.scene.builder import SceneDesc, compile_scene
+
+    d = SceneDesc()
+    lead = d.add_material(kind="aniso_roughdiffuse",
+                          albedo=(0.6, 0.4, 0.25),
+                          moments0=(0.15, -0.1),
+                          moments1=(0.55, 0.4, 0.05))
+    lead2 = d.add_material(kind="aniso_roughdiffuse",
+                           albedo=(0.3, 0.4, 0.6),
+                           moments0=(0.0, 0.0),
+                           moments1=(0.3, 0.3, 0.0),
+                           sample_visibility=False)
+    floor = d.add_material(kind="diffuse", albedo=(0.5, 0.5, 0.55))
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, -1, 0])
+                @ tfm.rotate([1, 0, 0], -90) @ tfm.scale([6] * 3),
+                material=floor)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([-1.3, 0, 0]), material=lead)
+    d.add_shape(shapes.sphere(12, 24),
+                to_world=tfm.translate([1.3, 0, 0]), material=lead2)
+    d.add_shape(shapes.rectangle(),
+                to_world=tfm.translate([0, 4, 0])
+                @ tfm.rotate([1, 0, 0], 90) @ tfm.scale([2] * 3),
+                material=floor, radiance=(13, 12, 11))
+    scene = compile_scene(d, cluster_size=64)
+    assert MegaPathTracer.supports(scene)[0]
+    L_ref, L_m = _li_pair(scene, [0.0, 0.8, 5.0], n=8192, depth=8)
+    _assert_close(L_ref, L_m)
