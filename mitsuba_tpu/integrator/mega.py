@@ -1,9 +1,9 @@
 """MegaPathTracer: the fused per-bounce megakernel integrator.
 
 Drop-in replacement for PathTracer on scenes that fit the megakernel's
-VMEM budget and feature subset — accel.megakernel.MEGA_FAMILIES (13
-leaf BSDF families incl. rough dielectric/plastic, plus mixture/mask,
-coating and roughcoating composites),
+VMEM budget and feature subset — accel.megakernel.MEGA_FAMILIES (14
+leaf BSDF families incl. rough dielectric/plastic and LEADR, plus
+mixture/mask, coating and roughcoating composites),
 area/constant/point/spot/directional emitters, pinhole or thin-lens
 perspective sensors, flat or smooth shading, analytic checkerboard/
 grid procedural textures, and (MegaVolPathTracer) a global homogeneous
